@@ -47,6 +47,8 @@ class RenderSettings:
     frustum_bound_th: float = 0.0
     is_eval: bool = False
     rays_in_bbox: bool = False
+    use_pallas: bool = False  # fused VMEM-resident MLP eval (inference path)
+    pallas_rays_per_tile: Optional[int] = None  # None = auto from VMEM budget
 
     @classmethod
     def from_config(cls, cfg, *, white_back=False, is_eval=False, **over):
@@ -68,25 +70,27 @@ class RenderSettings:
         return cls(**kw)
 
 
-# A point-embedding function: xyz (N,3) -> (emb_xyz (N,C), obj_voxel (N,Cv)|None)
-EmbedFn = Callable[[jnp.ndarray], tuple]
+# Voxel context: (features, topology, static) or None for classical PE.
+VoxelCtx = Optional[tuple]
 
 
-def make_classical_embed(settings: RenderSettings) -> EmbedFn:
-    """PE-only embedding (use_voxel_embedding: false path, train.py:52-53)."""
+def _embed_points(xyz_flat, settings: RenderSettings, voxel_ctx: VoxelCtx):
+    """(emb_xyz (N,C), obj_voxel (N,Cv)|None) — the EmbeddingVoxel.forward /
+    classical Embedding split (train.py:45-53)."""
+    if voxel_ctx is None:
+        return freq_encode(xyz_flat, settings.mlp.N_freq_xyz), None
+    from ..models.voxel_grid import voxel_embed
 
-    n_freq = settings.mlp.N_freq_xyz
-
-    def embed(xyz: jnp.ndarray):
-        return freq_encode(xyz, n_freq), None
-
-    return embed
+    features, topo, static = voxel_ctx
+    return voxel_embed(
+        features, topo, static, xyz_flat, n_freq_xyz=settings.mlp.N_freq_xyz
+    )
 
 
 def _eval_models(
     params: Dict[str, Any],
     settings: RenderSettings,
-    embed_fn: EmbedFn,
+    voxel_ctx: VoxelCtx,
     typ: str,
     xyz: jnp.ndarray,  # (N_rays, S, 3)
     dir_embedded: jnp.ndarray,  # (N_rays, C_dir)
@@ -94,11 +98,35 @@ def _eval_models(
 ):
     """Evaluate scene (+instance) branches over flattened rays×samples."""
     n_rays, n_samp, _ = xyz.shape
+    mlp_params = params[typ]
+
+    if settings.use_pallas:
+        from ..ops.pallas_mlp import fused_mlp_eval
+        from ..models.voxel_grid import voxel_lookup_raw
+
+        voxel_raw = None
+        if voxel_ctx is not None:
+            features, topo, static = voxel_ctx
+            raw, _ = voxel_lookup_raw(
+                features, topo, static, xyz.reshape(-1, 3), trilinear=True
+            )
+            voxel_raw = raw.reshape(n_rays, n_samp, -1)
+        sigma, rgb, i_sigma, i_rgb = fused_mlp_eval(
+            mlp_params, settings.mlp, xyz, dir_embedded,
+            obj_codes=embedding_instance, voxel_raw=voxel_raw,
+            forward_instance=settings.forward_instance,
+            rays_per_tile=settings.pallas_rays_per_tile,
+        )
+        out = {"sigma": sigma, "rgb": rgb}
+        if settings.forward_instance:
+            out["inst_sigma"] = i_sigma
+            out["inst_rgb"] = i_rgb
+        return out
+
     xyz_flat = xyz.reshape(n_rays * n_samp, 3)
-    emb_xyz, obj_voxel = embed_fn(xyz_flat)
+    emb_xyz, obj_voxel = _embed_points(xyz_flat, settings, voxel_ctx)
     dir_flat = jnp.repeat(dir_embedded, n_samp, axis=0)
 
-    mlp_params = params[typ]
     sigma, rgb = scene_forward(mlp_params, settings.mlp, emb_xyz, dir_flat)
     out = {
         "sigma": sigma.reshape(n_rays, n_samp),
@@ -162,7 +190,7 @@ def render_rays(
     rays: jnp.ndarray,
     key: jnp.ndarray,
     settings: RenderSettings,
-    embed_fn: Optional[EmbedFn] = None,
+    voxel_ctx: VoxelCtx = None,
     embedding_instance: Optional[jnp.ndarray] = None,
     pass_through_mask: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
@@ -170,12 +198,11 @@ def render_rays(
 
     rays: (N, 8) = [o(3), d(3), near, far]  (generic_dataset.py:447 layout).
     params: {"coarse": mlp_params, "fine": mlp_params, ...}.
+    voxel_ctx: (features, topology, static) for the sparse-voxel embedding,
+    or None for the classical PE path.
     Returns the reference's result-key schema (`rgb_fine`, `opacity_instance_
     coarse`, ...) so losses/metrics/visualizers are drop-in.
     """
-    if embed_fn is None:
-        embed_fn = make_classical_embed(settings)
-
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
 
@@ -189,7 +216,7 @@ def render_rays(
 
     results: Dict[str, jnp.ndarray] = {}
     raw = _eval_models(
-        params, settings, embed_fn, "coarse", xyz_coarse, dir_embedded,
+        params, settings, voxel_ctx, "coarse", xyz_coarse, dir_embedded,
         embedding_instance,
     )
     _composite_pass(
@@ -209,7 +236,7 @@ def render_rays(
         z_all = merge_z_vals(z_vals, z_fine)
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
         raw_f = _eval_models(
-            params, settings, embed_fn, "fine", xyz_fine, dir_embedded,
+            params, settings, voxel_ctx, "fine", xyz_fine, dir_embedded,
             embedding_instance,
         )
         _composite_pass(
