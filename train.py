@@ -26,6 +26,12 @@ def main(argv):
     )
 
     config = load_config(cli_args=argv)
+    if "root_dir" not in config.dataset_extra and config.dataset_name != "synthetic":
+        raise SystemExit(
+            "error: no scene selected — pass dataset_config=config/<scene>.yml "
+            "(e.g. config/toy_desk_2.yml, or config/synthetic.yml for the "
+            "built-in test scene)"
+        )
     exp_name = time.strftime("%Y-%m-%d_%H-%M-%S") + "_" + config.exp_name
     log_path = os.path.join("logs", exp_name)
     config["log_path"] = log_path
