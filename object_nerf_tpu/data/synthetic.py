@@ -73,7 +73,8 @@ def trace(rays_o, rays_d, spheres):
     hit_plane = np.isfinite(best_t)
     rgb = np.zeros((n, 3))
     inst = np.zeros((n,), np.int64)
-    p = rays_o + best_t[:, None] * rays_d
+    t_safe = np.where(np.isfinite(best_t), best_t, 0.0)
+    p = rays_o + t_safe[:, None] * rays_d
     rgb[hit_plane] = _checker(p[hit_plane])
     # background: gradient sky
     sky = ~hit_plane

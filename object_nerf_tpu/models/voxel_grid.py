@@ -321,6 +321,8 @@ def prune_empty_voxels(
     """
     occ3 = np.asarray(topo.occupancy).reshape(static.shape)
     idx_occ = np.argwhere(occ3)  # (K, 3)
+    if len(idx_occ) == 0:
+        return topo  # nothing left to prune
     voxel_size = float(topo.voxel_size)
     offset = np.asarray(topo.voxel_offset)
     voxel_xyz = idx_occ.astype(np.float32) * voxel_size - offset

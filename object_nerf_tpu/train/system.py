@@ -326,6 +326,10 @@ class ObjectNeRFSystem:
             self.voxel_topo = vg.prune_empty_voxels(
                 params["voxel_features"], self.voxel_topo, self.voxel_static,
                 sigma_fn, sub,
+                samples_per_voxel=int(
+                    self.config.train.get("prune_samples_per_voxel", 16**3)
+                ),
+                voxel_batch=int(self.config.train.get("prune_voxel_batch", 256)),
             )
         if epoch == 5:
             feats, self.voxel_topo, self.voxel_static = vg.subdivide_voxels(
