@@ -111,21 +111,18 @@ def _broadcast_rows(per_ray, s: int):
     return jnp.broadcast_to(per_ray[:, None, :], (r, s, c)).reshape(r * s, c)
 
 
-def _mlp_kernel(
-    *refs,
+def _eval_branches(
+    data_refs,
+    w,
     cfg: ObjectNeRFConfig,
     n_samples: int,
-    names: Tuple[str, ...],
     use_voxel: bool,
     forward_instance: bool,
-    dtype,
+    dt,
 ):
-    n_data = 4 if use_voxel else 3
-    data_refs = refs[:n_data]
-    w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
-    out_ref = refs[-1]
+    """Shared branch evaluation: returns (sigma, rgb, i_sigma, i_rgb) as
+    (RS, 1)/(RS, 3) arrays (instance outputs None when disabled)."""
     xyz_ref, dir_ref, code_ref = data_refs[:3]
-    dt = dtype
 
     xyz = xyz_ref[:]  # (RS, 3)
     xyz_sin = jnp.sin(_dot(xyz, w["pe_xyz_S"], jnp.float32) + w["pe_xyz_phase"])
@@ -133,6 +130,7 @@ def _mlp_kernel(
     # scene-branch input pieces, ordered as the reference feature layout:
     # voxel path: [vox_id(16), vox_sin(192), x(3), x_sin(60)]
     # classical:  [x(3), x_sin(60)]
+    ivox = ivox_sin = None
     if use_voxel:
         raw = data_refs[3][:]  # (RS, C_vox)
         svox = raw[:, : cfg.N_scn_voxel_size]
@@ -149,7 +147,7 @@ def _mlp_kernel(
 
     dir_pe = _broadcast_rows(dir_ref[:], n_samples)  # (RS, C_dir)
 
-    def run_branch(tag, depth, width, skips, extra_pieces):
+    def run_branch(tag, depth, skips, extra_pieces):
         pieces = feat_pieces + extra_pieces
         h = None
         for i in range(depth):
@@ -177,12 +175,33 @@ def _mlp_kernel(
         rgb = jax.nn.sigmoid(_dot(d_enc, w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"])
         return sigma, rgb
 
-    sigma, rgb = run_branch("s", cfg.D, cfg.W, cfg.skips, [])
-
+    sigma, rgb = run_branch("s", cfg.D, cfg.skips, [])
+    i_sigma = i_rgb = None
     if forward_instance:
         codes = _broadcast_rows(code_ref[:], n_samples)
         extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
-        i_sigma, i_rgb = run_branch("o", cfg.inst_D, cfg.inst_W, cfg.inst_skips, extra)
+        i_sigma, i_rgb = run_branch("o", cfg.inst_D, cfg.inst_skips, extra)
+    return sigma, rgb, i_sigma, i_rgb
+
+
+def _mlp_kernel(
+    *refs,
+    cfg: ObjectNeRFConfig,
+    n_samples: int,
+    names: Tuple[str, ...],
+    use_voxel: bool,
+    forward_instance: bool,
+    dtype,
+):
+    n_data = 4 if use_voxel else 3
+    data_refs = refs[:n_data]
+    w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
+    out_ref = refs[-1]
+
+    sigma, rgb, i_sigma, i_rgb = _eval_branches(
+        data_refs, w, cfg, n_samples, use_voxel, forward_instance, dtype
+    )
+    if forward_instance:
         out_ref[:] = jnp.concatenate([sigma, rgb, i_sigma, i_rgb], axis=-1)
     else:
         out_ref[:] = jnp.concatenate(
@@ -357,3 +376,201 @@ def fused_mlp_eval(
 
     out = out.reshape(n_rays, s, 8)
     return out[..., 0], out[..., 1:4], out[..., 4], out[..., 5:8]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused render tile: MLP + alpha compositing in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _render_kernel(
+    *refs,
+    cfg: ObjectNeRFConfig,
+    n_samples: int,
+    n_rays_tile: int,
+    names: Tuple[str, ...],
+    use_voxel: bool,
+    forward_instance: bool,
+    last_delta_inf: bool,
+    want_weights: bool,
+    dtype,
+):
+    n_data = 5 if use_voxel else 4  # + z_vals
+    data_refs = refs[:n_data]
+    z_ref = data_refs[3 if not use_voxel else 4]
+    n_out = 2 if want_weights else 1
+    w = {name: ref[:] for name, ref in zip(names, refs[n_data:-n_out])}
+    maps_ref = refs[-n_out]
+    weights_ref = refs[-1] if want_weights else None
+
+    sigma, rgb, i_sigma, i_rgb = _eval_branches(
+        data_refs[: (4 if use_voxel else 3)], w, cfg, n_samples, use_voxel,
+        forward_instance, dtype,
+    )
+
+    r, s = n_rays_tile, n_samples
+    z = z_ref[:]  # (R, S)
+    deltas = z[:, 1:] - z[:, :-1]
+    last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
+    deltas_scene = jnp.concatenate([deltas, last], axis=-1)
+
+    def cumprod_lanes(x):
+        # Hillis-Steele inclusive scan (cumprod is not lowerable on TPU
+        # Pallas): log2(S) shifted multiplies along the lane axis
+        k = 1
+        while k < s:
+            pad = jnp.ones((r, k), x.dtype)
+            x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
+            k *= 2
+        return x
+
+    def composite(sig_flat, rgb_flat, dl):
+        sig = sig_flat.reshape(r, s)
+        alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
+        trans = cumprod_lanes(1.0 - alphas + 1e-10)
+        trans = jnp.concatenate(
+            [jnp.ones((r, 1), jnp.float32), trans[:, :-1]], axis=-1
+        )
+        wts = alphas * trans  # (R, S)
+        opacity = jnp.sum(wts, axis=-1, keepdims=True)
+        depth = jnp.sum(wts * z, axis=-1, keepdims=True)
+        chans = [
+            jnp.sum(wts * rgb_flat[:, c].reshape(r, s), axis=-1, keepdims=True)
+            for c in range(3)
+        ]
+        return jnp.concatenate(chans + [depth, opacity], axis=-1), wts  # (R,5)
+
+    scene_maps, scene_w = composite(sigma[:, 0], rgb, deltas_scene)
+    if forward_instance:
+        deltas_inst = jnp.concatenate(
+            [deltas, jnp.zeros((r, 1), jnp.float32)], axis=-1
+        )
+        inst_maps, _ = composite(i_sigma[:, 0], i_rgb, deltas_inst)
+        # instance rgb is always white-backed (rendering.py:221-223)
+        i_op = inst_maps[:, 4:5]
+        inst_maps = jnp.concatenate(
+            [inst_maps[:, 0:3] + (1.0 - i_op), inst_maps[:, 3:4], i_op], axis=-1
+        )
+        pad = jnp.zeros((r, 6), jnp.float32)
+        maps_ref[:] = jnp.concatenate([scene_maps, inst_maps, pad], axis=-1)
+    else:
+        pad = jnp.zeros((r, 11), jnp.float32)
+        maps_ref[:] = jnp.concatenate([scene_maps, pad], axis=-1)
+    if want_weights:
+        weights_ref[:] = scene_w
+
+
+def fused_render_tiles(
+    mlp_params: Dict[str, Any],
+    cfg: ObjectNeRFConfig,
+    xyz: jnp.ndarray,  # (n_rays, S, 3)
+    z_vals: jnp.ndarray,  # (n_rays, S)
+    dir_pe: jnp.ndarray,  # (n_rays, C_dir)
+    obj_codes: Optional[jnp.ndarray] = None,
+    voxel_raw: Optional[jnp.ndarray] = None,
+    forward_instance: bool = True,
+    last_delta_inf: bool = True,
+    want_weights: bool = False,
+    white_back: bool = False,
+    rows_budget: int = 2048,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """One fused pass: PE → both MLP branches → alpha compositing, all in
+    VMEM. HBM sees only per-ray inputs/outputs (plus xyz/voxel per sample) —
+    the (rays·samples, 8) intermediate of `fused_mlp_eval` never exists.
+
+    Eval-path semantics (no noise, no occlusion suppression — is_eval=True
+    renders in the reference skip both).
+
+    Returns a dict: rgb (n,3), depth (n,), opacity (n,), and when
+    forward_instance also rgb_instance/depth_instance/opacity_instance,
+    plus weights (n, S) when want_weights (for the coarse→fine pdf).
+    """
+    n_rays, s, _ = xyz.shape
+    use_voxel = cfg.use_voxel_embedding
+    if use_voxel and voxel_raw is None:
+        raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
+
+    r = max(1, rows_budget // s)
+    r = min(r, n_rays)
+    while n_rays % r:
+        r -= 1
+    rows = r * s
+    grid = (n_rays // r,)
+
+    names, weight_arrays = prepare_kernel_weights(
+        mlp_params, cfg, forward_instance
+    )
+    if obj_codes is None:
+        obj_codes = jnp.zeros((n_rays, cfg.N_obj_code_length), xyz.dtype)
+
+    inputs = [xyz.reshape(n_rays * s, 3), dir_pe, obj_codes]
+    in_specs = [
+        pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, dir_pe.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r, obj_codes.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_voxel:
+        vox_flat = voxel_raw.reshape(n_rays * s, -1)
+        inputs.append(vox_flat)
+        in_specs.append(
+            pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    inputs.append(z_vals)
+    in_specs.append(
+        pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.extend(weight_arrays)
+    in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays)
+
+    kernel = functools.partial(
+        _render_kernel,
+        cfg=cfg,
+        n_samples=s,
+        n_rays_tile=r,
+        names=names,
+        use_voxel=use_voxel,
+        forward_instance=forward_instance,
+        last_delta_inf=last_delta_inf,
+        want_weights=want_weights,
+        dtype=dtype,
+    )
+
+    out_shapes = [jax.ShapeDtypeStruct((n_rays, 16), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((r, 16), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if want_weights:
+        out_shapes.append(jax.ShapeDtypeStruct((n_rays, s), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if want_weights else out_specs[0],
+        out_shape=out_shapes if want_weights else out_shapes[0],
+        interpret=interpret,
+    )(*inputs)
+
+    maps = outs[0] if want_weights else outs
+    rgb = maps[:, 0:3]
+    opacity = maps[:, 4]
+    if white_back:
+        rgb = rgb + (1.0 - opacity[:, None])
+    result = {"rgb": rgb, "depth": maps[:, 3], "opacity": opacity}
+    if forward_instance:
+        result.update(
+            rgb_instance=maps[:, 5:8],
+            depth_instance=maps[:, 8],
+            opacity_instance=maps[:, 9],
+        )
+    if want_weights:
+        result["weights"] = outs[1]
+    return result

@@ -185,6 +185,80 @@ def _composite_pass(
             results[f"weights_{typ}"] = inst.weights
 
 
+def render_rays_fused_eval(
+    params: Dict[str, Any],
+    rays: jnp.ndarray,
+    settings: RenderSettings,
+    voxel_ctx: VoxelCtx = None,
+    embedding_instance: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Deterministic eval render with BOTH passes fully fused (MLP +
+    compositing in VMEM; see ops/pallas_mlp.fused_render_tiles). Emits only
+    the final-typ image maps — the shape of results the eval renderer
+    actually consumes. Requires perturb=0/noise_std=0 (eval settings)."""
+    from ..ops.pallas_mlp import fused_render_tiles
+    from ..models.voxel_grid import voxel_lookup_raw
+
+    assert settings.perturb == 0 and settings.noise_std == 0, (
+        "fused render is the deterministic eval path"
+    )
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    near, far = rays[:, 6:7], rays[:, 7:8]
+    n = rays.shape[0]
+
+    z_vals = stratified_sample(None, near, far, settings.N_samples,
+                               settings.use_disp, 0.0)
+    dir_pe = freq_encode(rays_d, settings.mlp.N_freq_dir)
+
+    def lookup_vox(xyz):
+        if voxel_ctx is None:
+            return None
+        features, topo, static = voxel_ctx
+        raw, _ = voxel_lookup_raw(features, topo, static, xyz.reshape(-1, 3))
+        return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+
+    xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    coarse = fused_render_tiles(
+        params["coarse"], settings.mlp, xyz_c, z_vals, dir_pe,
+        obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_c),
+        forward_instance=settings.forward_instance,
+        want_weights=settings.N_importance > 0,
+        white_back=settings.white_back, interpret=interpret,
+    )
+    typ = "coarse"
+    out = coarse
+    z_final = z_vals
+
+    if settings.N_importance > 0:
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(
+            None, z_mid, coarse["weights"][:, 1:-1], settings.N_importance,
+            det=True,
+        )
+        z_final = merge_z_vals(z_vals, z_fine)
+        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_final[..., None]
+        out = fused_render_tiles(
+            params["fine"], settings.mlp, xyz_f, z_final, dir_pe,
+            obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_f),
+            forward_instance=settings.forward_instance,
+            want_weights=False, white_back=settings.white_back,
+            interpret=interpret,
+        )
+        typ = "fine"
+
+    results = {
+        f"rgb_{typ}": out["rgb"],
+        f"depth_{typ}": out["depth"],
+        f"opacity_{typ}": out["opacity"],
+    }
+    if settings.forward_instance:
+        results[f"rgb_instance_{typ}"] = out["rgb_instance"]
+        results[f"depth_instance_{typ}"] = out["depth_instance"]
+        results[f"opacity_instance_{typ}"] = out["opacity_instance"]
+    return results
+
+
 def render_rays(
     params: Dict[str, Any],
     rays: jnp.ndarray,

@@ -136,13 +136,26 @@ def make_render_fn(
     within noise of the fused form.)
     """
 
+    use_fused = (
+        settings.use_pallas and not settings.rays_in_bbox
+        and settings.perturb == 0 and settings.noise_std == 0
+    )
+
     @functools.partial(jax.jit, static_argnames=())
     def render_chunk(params, rays_c, key, codes_c, voxel_topo):
         voxel_ctx = _voxel_ctx(params, voxel_topo, voxel_static)
+        codes = codes_c if settings.forward_instance else None
+        if use_fused:
+            from ..render.renderer import render_rays_fused_eval
+
+            return render_rays_fused_eval(
+                params, rays_c, settings, voxel_ctx=voxel_ctx,
+                embedding_instance=codes,
+            )
         out = render_rays(
             params, rays_c, key, settings,
             voxel_ctx=voxel_ctx,
-            embedding_instance=codes_c if settings.forward_instance else None,
+            embedding_instance=codes,
         )
         # keep only the final-pass image maps: trimming per-sample outputs
         # saves bandwidth, and emitting coarse+fine maps together currently
