@@ -9,8 +9,48 @@ poly with optional gradual warmup. The reference steps schedulers per
 
 from __future__ import annotations
 
+from typing import NamedTuple, Any
+
+import jax
 import jax.numpy as jnp
 import optax
+
+
+class LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    step: jnp.ndarray
+
+
+def lookahead(
+    inner: optax.GradientTransformation,
+    sync_period: int = 6,
+    slow_step_size: float = 0.5,
+) -> optax.GradientTransformation:
+    """Lookahead wrapper (Ranger = RAdam + Lookahead, the reference's
+    torch_optimizer.Ranger). Keeps slow weights in optimizer state; every
+    `sync_period` steps the emitted update snaps params onto the
+    interpolated slow weights — no param-pytree restructuring needed."""
+
+    def init(params):
+        return LookaheadState(inner.init(params), jax.tree_util.tree_map(
+            jnp.asarray, params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        upd, inner_state = inner.update(grads, state.inner, params)
+        fast = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        step = state.step + 1
+        sync = (step % sync_period) == 0
+        new_slow = jax.tree_util.tree_map(
+            lambda s, f: jnp.where(sync, s + slow_step_size * (f - s), s),
+            state.slow, fast,
+        )
+        updates = jax.tree_util.tree_map(
+            lambda f, ns, p: jnp.where(sync, ns, f) - p, fast, new_slow, params
+        )
+        return updates, LookaheadState(inner_state, new_slow, step)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_lr_schedule(train_cfg, steps_per_epoch: int):
@@ -75,11 +115,7 @@ def make_optimizer(train_cfg, steps_per_epoch: int) -> optax.GradientTransformat
         chain = [optax.trace(decay=momentum)]
     elif kind == "adam":
         chain = [optax.scale_by_adam(eps=eps)]
-    elif kind == "radam":
-        chain = [optax.scale_by_radam(eps=eps)]
-    elif kind == "ranger":
-        # Ranger = RAdam + Lookahead; approximated by RAdam here (lookahead's
-        # slow weights need a wrapper state — tracked as future work)
+    elif kind in ("radam", "ranger"):
         chain = [optax.scale_by_radam(eps=eps)]
     else:
         raise ValueError(f"optimizer {kind!r} not recognized")
@@ -89,4 +125,7 @@ def make_optimizer(train_cfg, steps_per_epoch: int) -> optax.GradientTransformat
         chain.insert(0, optax.add_decayed_weights(wd))
 
     chain.append(optax.scale_by_learning_rate(sched))
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if kind == "ranger":
+        opt = lookahead(opt, sync_period=6, slow_step_size=0.5)
+    return opt
