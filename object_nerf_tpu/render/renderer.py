@@ -49,6 +49,7 @@ class RenderSettings:
     rays_in_bbox: bool = False
     use_pallas: bool = False  # fused VMEM-resident MLP eval (inference path)
     pallas_rays_per_tile: Optional[int] = None  # None = auto from VMEM budget
+    remat: bool = False  # rematerialize MLP evals in the backward pass
 
     @classmethod
     def from_config(cls, cfg, *, white_back=False, is_eval=False, **over):
@@ -288,8 +289,16 @@ def render_rays(
     xyz_coarse = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     dir_embedded = freq_encode(rays_d, settings.mlp.N_freq_dir)
 
+    eval_models = _eval_models
+    if settings.remat:
+        # trade FLOPs for memory: recompute the MLP evals in the backward
+        # pass instead of keeping (rays·samples, W) activations alive
+        eval_models = jax.checkpoint(
+            _eval_models, static_argnums=(1, 3), prevent_cse=False
+        )
+
     results: Dict[str, jnp.ndarray] = {}
-    raw = _eval_models(
+    raw = eval_models(
         params, settings, voxel_ctx, "coarse", xyz_coarse, dir_embedded,
         embedding_instance,
     )
@@ -309,7 +318,7 @@ def render_rays(
         )
         z_all = merge_z_vals(z_vals, z_fine)
         xyz_fine = rays_o[:, None, :] + rays_d[:, None, :] * z_all[..., None]
-        raw_f = _eval_models(
+        raw_f = eval_models(
             params, settings, voxel_ctx, "fine", xyz_fine, dir_embedded,
             embedding_instance,
         )

@@ -47,6 +47,10 @@ def main(argv):
     system = ObjectNeRFSystem(config, dataset=train_ds, val_dataset=val_ds)
     os.makedirs(log_path, exist_ok=True)
     save_config_snapshot(log_path, config)
+    if config.get("snapshot_source", True):
+        from object_nerf_tpu.utils.snapshot import make_source_code_snapshot
+
+        make_source_code_snapshot(log_path)
 
     writer = None
     try:
