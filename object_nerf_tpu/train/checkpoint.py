@@ -91,6 +91,7 @@ def load_any_checkpoint(path, model_cfg) -> Dict[str, Any]:
     restored = load_checkpoint(path)
     return {
         "params": restored["params"],
+        "opt_state": restored.get("opt_state"),
         "voxel_topo": restored.get("voxel_topo"),
         "voxel_static": restored.get("voxel_static"),
         "step": restored.get("step", 0),

@@ -240,6 +240,13 @@ class ObjectNeRFSystem:
 
         opt_state = self.optimizer.init(params)
         state = TrainState(params, opt_state, jnp.int32(0))
+
+        # resume (train.py:258 resume_from_checkpoint semantics): ckpt_path
+        # may be an Orbax dir of ours or a reference Lightning .ckpt
+        ckpt_path = config.get("ckpt_path")
+        if ckpt_path:
+            state = self._restore(state, ckpt_path)
+
         self.state = replicate(state, self.mesh)
         if self.voxel_topo is not None:
             self.voxel_topo = replicate(self.voxel_topo, self.mesh)
@@ -254,6 +261,34 @@ class ObjectNeRFSystem:
         )
         self._render_fns: Dict[int, Any] = {}
         self.batch_sharding = data_sharding(self.mesh)
+
+    def _restore(self, state: TrainState, ckpt_path) -> TrainState:
+        from .checkpoint import load_any_checkpoint
+
+        restored = load_any_checkpoint(ckpt_path, self.config.model)
+        params = restored["params"]
+        # keep freshly-initialized leaves for anything the ckpt lacks
+        merged = dict(state.params)
+        merged.update(params)
+        if restored.get("voxel_torch") is not None:
+            vt = restored["voxel_torch"]
+            merged["voxel_features"] = jnp.asarray(vt["features"])
+        step = jnp.int32(restored.get("step", 0))
+        opt_state = restored.get("opt_state")
+        if opt_state is None:
+            opt_state = self.optimizer.init(merged)
+        else:
+            # restored leaves are raw arrays; rebuild the optax pytree
+            treedef = jax.tree_util.tree_structure(self.optimizer.init(merged))
+            leaves = jax.tree_util.tree_leaves(opt_state)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        if restored.get("voxel_topo") is not None and self.voxel_topo is not None:
+            td = restored["voxel_topo"]
+            self.voxel_topo = vg.VoxelTopology(
+                **{k: jnp.asarray(v) for k, v in td.items()}
+            )
+        print(f"resumed from {ckpt_path} at step {int(step)}")
+        return TrainState(merged, opt_state, step)
 
     def _steps_per_epoch(self, dataset, batch_size) -> int:
         limit = self.config.train.get("limit_train_batches", 1.0)
