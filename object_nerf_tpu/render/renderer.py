@@ -102,7 +102,7 @@ def _eval_models(
     mlp_params = params[typ]
 
     if settings.use_pallas:
-        from ..ops.pallas_mlp import fused_mlp_eval
+        from ..ops.pallas_mlp_vjp import make_fused_mlp_op
         from ..models.voxel_grid import voxel_lookup_raw
 
         voxel_raw = None
@@ -112,11 +112,12 @@ def _eval_models(
                 features, topo, static, xyz.reshape(-1, 3), trilinear=True
             )
             voxel_raw = raw.reshape(n_rays, n_samp, -1)
-        sigma, rgb, i_sigma, i_rgb = fused_mlp_eval(
-            mlp_params, settings.mlp, xyz, dir_embedded,
-            obj_codes=embedding_instance, voxel_raw=voxel_raw,
-            forward_instance=settings.forward_instance,
-            rays_per_tile=settings.pallas_rays_per_tile,
+        codes = embedding_instance
+        if codes is None:
+            codes = jnp.zeros((n_rays, settings.mlp.N_obj_code_length), xyz.dtype)
+        op = make_fused_mlp_op(settings.mlp, settings.forward_instance)
+        sigma, rgb, i_sigma, i_rgb = op(
+            mlp_params, xyz, dir_embedded, codes, voxel_raw
         )
         out = {"sigma": sigma, "rgb": rgb}
         if settings.forward_instance:

@@ -203,7 +203,8 @@ class ObjectNeRFSystem:
             # fused kernels on real TPUs; XLA path elsewhere (CPU tests)
             use_pallas = jax.default_backend() == "tpu"
         self.settings = RenderSettings.from_config(
-            config, white_back=getattr(dataset, "white_back", False), is_eval=False
+            config, white_back=getattr(dataset, "white_back", False),
+            is_eval=False, use_pallas=bool(use_pallas),
         )
         # the fused kernel is inference-only (no VJP yet) → eval path only
         self.eval_settings = RenderSettings.from_config(
