@@ -82,7 +82,10 @@ def trace(rays_o, rays_d, spheres):
         [0.6 + 0.2 * rays_d[sky, 2], 0.7 + 0.2 * rays_d[sky, 2],
          0.9 * np.ones(sky.sum())], -1
     ).clip(0, 1)
-    best_t = np.where(hit_plane, best_t, 20.0)
+    # miss ⇒ depth 0 (invalid, excluded by the depth>0 loss mask — the
+    # reference uses the same convention for clipped depths,
+    # generic_dataset.py:391)
+    best_t = np.where(hit_plane, best_t, 0.0)
 
     for s in spheres:
         t = _ray_sphere(rays_o, rays_d, s.center, s.radius)
@@ -148,6 +151,9 @@ class SyntheticDataset:
             self.poses.append(c2w)
             rays_o, rays_d = get_rays(directions, c2w)
             rgb, depth, inst = trace(rays_o, rays_d, self.spheres)
+            # depths beyond the far plane are unfittable → mark invalid (0),
+            # mirroring the reference's >4 m depth clip (generic_dataset.py:391)
+            depth = np.where(depth > self.far, 0.0, depth)
             near = np.full((len(rays_o), 1), self.near, np.float32)
             far = np.full((len(rays_o), 1), self.far, np.float32)
             rays = np.concatenate(

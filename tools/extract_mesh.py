@@ -74,7 +74,6 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
     # process x-slabs; build pts per slab to bound host memory
     yy, zz = np.meshgrid(ys, zs, indexing="ij")
     plane = np.stack([yy.reshape(-1), zz.reshape(-1)], -1)  # (n*n, 2)
-    rows_per_chunk = max(1, chunk // (n * n)) or 1
     for i, xv in enumerate(xs):
         pts = np.concatenate(
             [np.full((n * n, 1), xv, np.float32), plane.astype(np.float32)], -1
