@@ -1,0 +1,443 @@
+"""The training system: jitted, mesh-sharded train/val steps + the fit loop.
+
+Replaces the reference's PyTorch-Lightning `ObjectNeRFSystem`
+(train.py:36-231) with a TPU-native design:
+
+* one fully-jitted `train_step(state, batch, key)` — render, loss, grads,
+  Adam/schedule update in a single XLA program, donated state;
+* ray batches sharded over a 1-D `data` mesh (NamedSharding); parameters
+  replicated; XLA inserts the gradient all-reduce over ICI — this is the
+  DDP equivalent (train.py:261-262) with zero user-side collectives;
+* the validation render is the same jitted program at eval settings,
+  `lax.map`-chunked over whole-image ray tiles;
+* voxel prune/subdivide hooks run between epochs on the host, mirroring
+  `on_epoch_start` (train.py:140-145).
+
+The *loss/metric names* match the reference logger keys (train/loss,
+train/psnr, val/psnr, lr, ...) for comparability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.mlp import init_object_nerf
+from ..models.code_library import init_code_library, lookup_codes
+from ..models import voxel_grid as vg
+from ..render.renderer import RenderSettings, render_rays
+from ..parallel.mesh import make_mesh, data_sharding, replicate
+from .losses import total_loss
+from .metrics import psnr
+from .optim import make_optimizer, make_lr_schedule
+
+
+class TrainState(NamedTuple):
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def init_params(key, settings: RenderSettings, model_cfg, voxel_features=None):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "coarse": init_object_nerf(k1, settings.mlp),
+        "code_library": init_code_library(
+            k3,
+            int(model_cfg.get("N_max_objs", 64)),
+            int(model_cfg.get("N_obj_code_length", 64)),
+        ),
+    }
+    if settings.N_importance > 0:
+        params["fine"] = init_object_nerf(k2, settings.mlp)
+    if voxel_features is not None:
+        params["voxel_features"] = voxel_features
+    return params
+
+
+def _voxel_ctx(params, voxel_topo, voxel_static):
+    if voxel_static is None:
+        return None  # classical PE path
+    return (params["voxel_features"], voxel_topo, voxel_static)
+
+
+def make_train_step(
+    settings: RenderSettings,
+    loss_weights: Dict[str, float],
+    optimizer: optax.GradientTransformation,
+    voxel_static: Optional[vg.VoxelStatic] = None,
+    lr_schedule=None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returned signature: (state, batch, key, voxel_topo) -> (state, metrics).
+    `voxel_topo` is a dynamic arg so pruning never recompiles.
+    """
+
+    use_instance = settings.forward_instance
+
+    def loss_fn(params, batch, key, voxel_topo):
+        voxel_ctx = _voxel_ctx(params, voxel_topo, voxel_static)
+        codes = None
+        if use_instance:
+            codes = lookup_codes(params["code_library"], batch["instance_ids"])
+        results = render_rays(
+            params,
+            batch["rays"],
+            key,
+            settings,
+            voxel_ctx=voxel_ctx,
+            embedding_instance=codes,
+            pass_through_mask=batch.get("pass_through_mask"),
+        )
+        loss, logs = total_loss(results, batch, loss_weights, use_instance)
+        typ = "fine" if settings.N_importance > 0 else "coarse"
+        train_psnr = psnr(
+            results[f"rgb_{typ}"], batch["rgbs"], batch["valid_mask"][:, None]
+        )
+        return loss, (logs, train_psnr)
+
+    def train_step(state: TrainState, batch, key, voxel_topo):
+        (loss, (logs, train_psnr)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch, key, voxel_topo)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"train/loss": loss, "train/psnr": train_psnr}
+        metrics.update({f"train/{k}": v for k, v in logs.items()})
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_render_fn(
+    settings: RenderSettings,
+    voxel_static: Optional[vg.VoxelStatic] = None,
+    chunk: int = 4096,
+):
+    """Whole-image eval renderer.
+
+    One jitted program renders a fixed-size ray chunk; the wrapper loops
+    over chunks with *async dispatch* (no host sync between chunks), so the
+    device pipeline stays full and per-call dispatch latency overlaps with
+    compute. Rays must be padded to a multiple of `chunk` by the caller.
+
+    (A single `lax.map` over all chunks would be one dispatch, but programs
+    above a few-chunk size currently trip an internal TPU-compiler error on
+    this toolchain — the loop-of-jit form compiles reliably and benches
+    within noise of the fused form.)
+    """
+
+    use_fused = (
+        settings.use_pallas and not settings.rays_in_bbox
+        and settings.perturb == 0 and settings.noise_std == 0
+    )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def render_chunk(params, rays_c, key, codes_c, voxel_topo):
+        voxel_ctx = _voxel_ctx(params, voxel_topo, voxel_static)
+        codes = codes_c if settings.forward_instance else None
+        if use_fused:
+            from ..render.renderer import render_rays_fused_eval
+
+            return render_rays_fused_eval(
+                params, rays_c, settings, voxel_ctx=voxel_ctx,
+                embedding_instance=codes,
+            )
+        out = render_rays(
+            params, rays_c, key, settings,
+            voxel_ctx=voxel_ctx,
+            embedding_instance=codes,
+        )
+        # keep only the final-pass image maps: trimming per-sample outputs
+        # saves bandwidth, and emitting coarse+fine maps together currently
+        # trips an internal TPU-compiler error (regalloc) on this toolchain
+        typ = "fine" if settings.N_importance > 0 else "coarse"
+        keep = (f"rgb_{typ}", f"depth_{typ}", f"opacity_{typ}",
+                f"rgb_instance_{typ}", f"depth_instance_{typ}",
+                f"opacity_instance_{typ}")
+        return {k: v for k, v in out.items() if k in keep}
+
+    def render(params, rays, key, instance_ids, voxel_topo):
+        codes = None
+        if settings.forward_instance:
+            codes = lookup_codes(params["code_library"], instance_ids)
+        n = rays.shape[0]
+        outs = []
+        for i in range(0, n, chunk):
+            rays_c = rays[i : i + chunk]
+            codes_c = codes[i : i + chunk] if codes is not None else None
+            outs.append(render_chunk(params, rays_c, key, codes_c, voxel_topo))
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
+
+    return render
+
+
+class ObjectNeRFSystem:
+    """End-to-end trainer mirroring the reference system's public surface."""
+
+    def __init__(self, config, dataset=None, val_dataset=None, mesh=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+        self.use_voxel = bool(config.model.get("use_voxel_embedding", True))
+
+        self.train_dataset = dataset
+        self.val_dataset = val_dataset
+
+        seed = int(config.train.get("seed", 42))
+        self.key = jax.random.PRNGKey(seed)
+
+        use_pallas = config.get("tpu", {}).get("use_pallas", "auto")
+        if use_pallas == "auto":
+            # fused kernels on real TPUs; XLA path elsewhere (CPU tests)
+            use_pallas = jax.default_backend() == "tpu"
+        self.settings = RenderSettings.from_config(
+            config, white_back=getattr(dataset, "white_back", False),
+            is_eval=False, use_pallas=bool(use_pallas),
+        )
+        # the fused kernel is inference-only (no VJP yet) → eval path only
+        self.eval_settings = RenderSettings.from_config(
+            config,
+            white_back=getattr(val_dataset or dataset, "white_back", False),
+            is_eval=True,
+            use_pallas=bool(use_pallas),
+        )
+
+        # voxel grid
+        self.voxel_topo = None
+        self.voxel_static = None
+        voxel_features = None
+        if self.use_voxel:
+            from ..data.ply_io import read_ply
+
+            pcd = read_ply(config.dataset_extra.pcd_path)["points"]
+            self.key, vk = jax.random.split(self.key)
+            voxel_features, self.voxel_topo, self.voxel_static = (
+                vg.build_voxel_grid_from_config(pcd, config, key=vk)
+            )
+
+        self.key, pk = jax.random.split(self.key)
+        params = init_params(pk, self.settings, config.model, voxel_features)
+
+        batch_size = int(config.train.batch_size)
+        if dataset is not None:
+            steps_per_epoch = max(1, self._steps_per_epoch(dataset, batch_size))
+        else:
+            steps_per_epoch = 1000
+        self.steps_per_epoch = steps_per_epoch
+        self.optimizer = make_optimizer(config.train, steps_per_epoch)
+        self.lr_schedule = make_lr_schedule(config.train, steps_per_epoch)
+
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params, opt_state, jnp.int32(0))
+
+        # resume (train.py:258 resume_from_checkpoint semantics): ckpt_path
+        # may be an Orbax dir of ours or a reference Lightning .ckpt
+        ckpt_path = config.get("ckpt_path")
+        if ckpt_path:
+            state = self._restore(state, ckpt_path)
+
+        self.state = replicate(state, self.mesh)
+        if self.voxel_topo is not None:
+            self.voxel_topo = replicate(self.voxel_topo, self.mesh)
+
+        self.train_step = make_train_step(
+            self.settings,
+            dict(config.loss),
+            self.optimizer,
+            self.voxel_static,
+            self.lr_schedule,
+            donate=bool(config.get("tpu", {}).get("donate_train_state", True)),
+        )
+        self._render_fns: Dict[int, Any] = {}
+        self.batch_sharding = data_sharding(self.mesh)
+
+    def _restore(self, state: TrainState, ckpt_path) -> TrainState:
+        from .checkpoint import load_any_checkpoint
+
+        restored = load_any_checkpoint(ckpt_path, self.config.model)
+        params = restored["params"]
+        # keep freshly-initialized leaves for anything the ckpt lacks
+        merged = dict(state.params)
+        merged.update(params)
+        if restored.get("voxel_torch") is not None:
+            vt = restored["voxel_torch"]
+            merged["voxel_features"] = jnp.asarray(vt["features"])
+        step = jnp.int32(restored.get("step", 0))
+        opt_state = restored.get("opt_state")
+        if opt_state is None:
+            opt_state = self.optimizer.init(merged)
+        else:
+            # restored leaves are raw arrays; rebuild the optax pytree
+            treedef = jax.tree_util.tree_structure(self.optimizer.init(merged))
+            leaves = jax.tree_util.tree_leaves(opt_state)
+            opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        if restored.get("voxel_topo") is not None and self.voxel_topo is not None:
+            td = restored["voxel_topo"]
+            self.voxel_topo = vg.VoxelTopology(
+                **{k: jnp.asarray(v) for k, v in td.items()}
+            )
+        print(f"resumed from {ckpt_path} at step {int(step)}")
+        return TrainState(merged, opt_state, step)
+
+    def _steps_per_epoch(self, dataset, batch_size) -> int:
+        limit = self.config.train.get("limit_train_batches", 1.0)
+        full = max(1, len(dataset) // batch_size)
+        if limit is None:
+            return full
+        if isinstance(limit, float) and limit <= 1.0:
+            return max(1, int(full * limit))
+        return min(full, int(limit))
+
+    # -- data movement -------------------------------------------------------
+    def _device_batch(self, np_batch):
+        batch = {
+            k: jnp.asarray(v) for k, v in np_batch.items()
+        }
+        return jax.device_put(batch, self.batch_sharding)
+
+    # -- public API -----------------------------------------------------------
+    def training_step(self, np_batch):
+        self.key, sub = jax.random.split(self.key)
+        batch = self._device_batch(np_batch)
+        self.state, metrics = self.train_step(
+            self.state, batch, sub, self.voxel_topo
+        )
+        return metrics
+
+    def render_image(self, np_batch, chunk: int = 4096):
+        """Render a whole-image batch at eval settings; returns host arrays."""
+        rays = np.asarray(np_batch["rays"], np.float32)
+        ids = np.asarray(np_batch["instance_ids"], np.int64)
+        n = len(rays)
+        chunk = min(chunk, n)
+        pad = (-n) % chunk
+        if pad:
+            rays = np.concatenate([rays, np.repeat(rays[-1:], pad, 0)])
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+        if chunk not in self._render_fns:
+            self._render_fns[chunk] = make_render_fn(
+                self.eval_settings, self.voxel_static, chunk
+            )
+        self.key, sub = jax.random.split(self.key)
+        out = self._render_fns[chunk](
+            self.state.params, jnp.asarray(rays), sub, jnp.asarray(ids),
+            self.voxel_topo,
+        )
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def validation(self, frame: int = 0, chunk: int = 4096,
+                   img_wh: Optional[tuple] = None):
+        batch = self.val_dataset.whole_image_batch(frame)
+        out = self.render_image(batch, chunk)
+        typ = "fine" if self.eval_settings.N_importance > 0 else "coarse"
+        mask = batch["valid_mask"]
+        if "instance_mask" in batch:
+            mask = mask * np.asarray(batch["instance_mask"], bool)
+        val_psnr = float(
+            psnr(
+                jnp.asarray(out[f"rgb_{typ}"]),
+                jnp.asarray(batch["rgbs"]),
+                jnp.asarray(mask)[:, None],
+            )
+        )
+        metrics = {"val/psnr": val_psnr}
+        img_wh = img_wh or getattr(self.val_dataset, "img_wh", None)
+        if img_wh is not None:
+            from .metrics import ssim
+
+            w, h = img_wh
+            metrics["val/ssim"] = float(
+                ssim(
+                    jnp.asarray(out[f"rgb_{typ}"]).reshape(h, w, 3),
+                    jnp.asarray(batch["rgbs"]).reshape(h, w, 3),
+                )
+            )
+        return metrics, out
+
+    def on_epoch_start(self, epoch: int):
+        """Progressive voxel training hooks (train.py:140-145)."""
+        if not (
+            self.config.train.get("progressive_train", False) and self.use_voxel
+        ):
+            return
+        from ..models.mlp import scene_forward
+
+        params = self.state.params
+
+        def sigma_fn(emb_xyz):
+            s, _ = scene_forward(
+                params.get("fine", params["coarse"]), self.settings.mlp,
+                emb_xyz, None, sigma_only=True,
+            )
+            return s
+
+        if epoch > 2:
+            self.key, sub = jax.random.split(self.key)
+            self.voxel_topo = vg.prune_empty_voxels(
+                params["voxel_features"], self.voxel_topo, self.voxel_static,
+                sigma_fn, sub,
+                samples_per_voxel=int(
+                    self.config.train.get("prune_samples_per_voxel", 16**3)
+                ),
+                voxel_batch=int(self.config.train.get("prune_voxel_batch", 256)),
+            )
+        if epoch == 5:
+            feats, self.voxel_topo, self.voxel_static = vg.subdivide_voxels(
+                params["voxel_features"], self.voxel_topo, self.voxel_static
+            )
+            new_params = dict(params)
+            new_params["voxel_features"] = feats
+            # reset only the voxel slice of optimizer state by re-initializing
+            opt_state = self.optimizer.init(new_params)
+            self.state = TrainState(new_params, opt_state, self.state.step)
+            self.train_step = make_train_step(
+                self.settings, dict(self.config.loss), self.optimizer,
+                self.voxel_static, self.lr_schedule,
+            )
+            self._render_fns.clear()
+
+    def fit(self, callbacks=None, rng=None):
+        """The Lightning-free training loop."""
+        import time
+
+        callbacks = callbacks or []
+        rng = rng or np.random.RandomState(int(self.config.train.get("seed", 42)))
+        batch_size = int(self.config.train.batch_size)
+        num_epochs = int(self.config.train.num_epochs)
+        val_every = float(self.config.train.get("val_check_interval", 0.25))
+        val_interval = max(1, int(self.steps_per_epoch * val_every))
+
+        history = []
+        for epoch in range(num_epochs):
+            self.on_epoch_start(epoch)
+            t0 = time.time()
+            for it in range(self.steps_per_epoch):
+                np_batch = self.train_dataset.sample_batch(batch_size, rng)
+                metrics = self.training_step(np_batch)
+                if (it + 1) % val_interval == 0 and self.val_dataset is not None:
+                    val_metrics, _ = self.validation()
+                    metrics = {**jax.device_get(metrics), **val_metrics}
+                    history.append(metrics)
+                    for cb in callbacks:
+                        cb(epoch, it, metrics, self)
+            dt = time.time() - t0
+            rays_per_sec = self.steps_per_epoch * batch_size / dt
+            m = jax.device_get(metrics)
+            print(
+                f"epoch {epoch}: loss={float(m['train/loss']):.4f} "
+                f"psnr={float(m['train/psnr']):.2f} "
+                f"({rays_per_sec:,.0f} rays/s)"
+            )
+        return history
