@@ -1,0 +1,124 @@
+"""Benchmark: full-image render throughput on the flagship model.
+
+Measures rays/sec/chip rendering a 640×480 image (307,200 rays) through the
+full eval pipeline — 64 coarse + 64 importance samples, scene + instance
+branches (the reference's headline configuration,
+config/default_conf.yml:14-27) — on the default JAX device (TPU under the
+driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/sec/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md). The anchor used
+here is an estimated 20,000 rays/s for the PyTorch CUDA reference at this
+sampling budget on a V100-class GPU (nerf-pl-style renderers at 64+64
+samples land at 15–25k rays/s; the reference adds the object branch on top).
+`vs_baseline` = measured / 20000. This is an estimate until a CUDA
+measurement of the reference is possible (torch here is CPU-only).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_SEC = 20_000.0  # estimated PyTorch CUDA reference (see above)
+
+W, H = 640, 480
+CHUNK = 7680  # 640×480 = 40 chunks exactly
+ITERS = 5
+
+
+def _bench_train_step(cfg):
+    from object_nerf_tpu.data.synthetic import SyntheticDataset
+    from object_nerf_tpu.train.system import ObjectNeRFSystem
+
+    cfg = cfg.copy()
+    cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0))
+    cfg.train.batch_size = 2048
+    ds = SyntheticDataset("train", img_wh=(64, 48), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    rng = np.random.RandomState(0)
+    batches = [ds.sample_batch(2048, rng) for _ in range(8)]
+    m = system.training_step(batches[0])
+    float(jax.device_get(m["train/loss"]))
+    for i in range(5):
+        m = system.training_step(batches[i % 8])
+    float(jax.device_get(m["train/loss"]))
+    t0 = time.perf_counter()
+    for i in range(20):
+        m = system.training_step(batches[i % 8])
+    float(jax.device_get(m["train/loss"]))
+    return 2048 / ((time.perf_counter() - t0) / 20)
+
+
+def main():
+    from object_nerf_tpu.config import load_config
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.train.system import init_params, make_render_fn
+
+    cfg = load_config()
+    cfg.model.use_voxel_embedding = False
+    use_pallas = jax.default_backend() == "tpu"
+    settings = RenderSettings.from_config(cfg, is_eval=True,
+                                          use_pallas=use_pallas)
+    params = init_params(jax.random.PRNGKey(0), settings, cfg.model)
+    params = jax.device_put(params)
+
+    n = W * H
+    rng = np.random.RandomState(0)
+    o = np.zeros((n, 3), np.float32)
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 0.5, np.float32)
+    far = np.full((n, 1), 4.0, np.float32)
+    rays = jnp.asarray(np.concatenate([o, d, near, far], -1))
+    ids = jnp.zeros((n,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    render = make_render_fn(settings, None, CHUNK)
+
+    def frame():
+        out = render(params, rays, key, ids, None)
+        # host fetch of a scalar forces real completion (block_until_ready
+        # is asynchronous on the axon tunnel platform)
+        return float(np.asarray(out["rgb_fine"][0].sum()))
+
+    frame()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        frame()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    rays_per_sec = n / dt
+    print(
+        f"[bench] {W}x{H} render: {dt*1e3:.1f} ms/frame, "
+        f"{rays_per_sec:,.0f} rays/s on {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    # secondary: training throughput (stderr only; primary metric is render)
+    try:
+        train_rps = _bench_train_step(cfg)
+        print(f"[bench] train step (b2048, 64+64): {train_rps:,.0f} rays/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_per_chip_640x480",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec/chip",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,427 @@
+"""Sparse voxel feature grid with trilinear interpolation, pruning, subdivision.
+
+Feature parity with the reference `EmbeddingVoxel`
+(models/embedding_helper.py:77-479):
+
+* Build: normalize a scene point cloud by (scene_center, scale_factor),
+  quantize at voxel_size, mark occupancy, dilate with an all-ones 3D
+  convolution of size `neighbor_marks`, and map occupied cells to rows of a
+  fixed-capacity `(N_max_voxels, channels)` feature table
+  (embedding_helper.py:86-200).
+* Lookup: trilinear interpolation over the 8 neighbor corners via sparse
+  gather; out-of-bounds or empty corners contribute zero; a point is invalid
+  only when all 8 corners are empty (embedding_helper.py:354-394). Features
+  split into scene (first C-8) and instance (last 8) channels, each
+  frequency-encoded; the scene half is concatenated with the classical
+  PE(xyz, 10) (embedding_helper.py:325-329, 404-409).
+* Progressive training: `prune` drops voxels whose max alpha over 16³
+  samples is below threshold (embedding_helper.py:202-245);
+  `subdivide` halves the voxel size, spawns 8 children per voxel, and
+  trilinearly resamples features into the new rows
+  (embedding_helper.py:247-302).
+
+TPU-first design:
+
+* Topology (occupancy / idx map / voxel size) is a `VoxelTopology` pytree of
+  device arrays with *static shapes per phase*; subdivision changes shapes
+  and therefore triggers exactly one recompile (the reference pays a CUDA
+  realloc at the same point).
+* The dense idx map is flattened so corner lookups are single 1-D gathers;
+  the feature fetch is one `(8·N, C)` row gather from the table — both lower
+  to efficient TPU dynamic-gathers.
+* The feature table is fixed capacity (`N_max_voxels`), so the trainable
+  param never changes shape — optimizer state survives prune/subdivide.
+* Pruning only *masks* (occupancy/idx updates); no shape change, no
+  recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .embedding import freq_encode
+
+INSTANCE_FTR_C = 8  # instance channels at the tail of the table (embedding_helper.py:185)
+
+
+class VoxelTopology(NamedTuple):
+    """Non-trainable voxel-grid state (buffers in the reference)."""
+
+    idx_map: jnp.ndarray  # (X*Y*Z,) int32 flattened; -1 = empty
+    occupancy: jnp.ndarray  # (X*Y*Z,) bool
+    voxel_size: jnp.ndarray  # () f32 — normalized units
+    voxel_offset: jnp.ndarray  # (3,) f32 — -bounds_min
+    n_occupied: jnp.ndarray  # () int32
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelStatic:
+    """Shape-defining metadata (a jit static argument)."""
+
+    shape: Tuple[int, int, int]
+    channels: int
+    n_freq_voxel: int
+    n_max_voxels: int
+
+    @property
+    def scene_channels(self) -> int:
+        return self.channels - INSTANCE_FTR_C
+
+
+# ---------------------------------------------------------------------------
+# Build (host-side numpy; runs once at dataset setup)
+# ---------------------------------------------------------------------------
+
+
+def _dilate_occupancy(occ: np.ndarray, k: int) -> np.ndarray:
+    """All-ones k³ dilation (the reference's Conv3d trick,
+    embedding_helper.py:154-169) via shifted ORs — no conv dependency."""
+    if k <= 1:
+        return occ
+    r = (k - 1) // 2
+    out = np.zeros_like(occ)
+    for dx in range(-r, k - r):
+        for dy in range(-r, k - r):
+            for dz in range(-r, k - r):
+                src = occ[
+                    max(0, -dx) : occ.shape[0] - max(0, dx),
+                    max(0, -dy) : occ.shape[1] - max(0, dy),
+                    max(0, -dz) : occ.shape[2] - max(0, dz),
+                ]
+                out[
+                    max(0, dx) : occ.shape[0] - max(0, -dx),
+                    max(0, dy) : occ.shape[1] - max(0, -dy),
+                    max(0, dz) : occ.shape[2] - max(0, -dz),
+                ] |= src
+    return out
+
+
+def build_voxel_grid(
+    pcd_xyz: np.ndarray,
+    scene_center,
+    scale_factor: float,
+    voxel_size_world: float,
+    neighbor_marks: int,
+    channels: int,
+    n_freq_voxel: int,
+    n_max_voxels: int,
+    key=None,
+):
+    """Construct (features, topology, static) from a raw point cloud.
+
+    pcd_xyz: (N, 3) world-space points (e.g. from read_ply).
+    Returns (features (n_max_voxels, channels) f32, VoxelTopology, VoxelStatic).
+    """
+    pts = (np.asarray(pcd_xyz, np.float64) - np.asarray(scene_center)) / scale_factor
+    voxel_size = voxel_size_world / scale_factor
+    bounds_min = pts.min(0)
+    bounds_max = pts.max(0)
+    offset = -bounds_min
+    # +3 margin matches the reference (embedding_helper.py:119-123)
+    shape = tuple(
+        int((bounds_max[i] - bounds_min[i]) / voxel_size) + 3 for i in range(3)
+    )
+
+    q = np.round((pts + offset) / voxel_size).astype(np.int64)
+    valid = np.all((q >= 0) & (q < np.array(shape)), axis=1)
+    q = q[valid]
+    occ = np.zeros(shape, dtype=bool)
+    occ[q[:, 0], q[:, 1], q[:, 2]] = True
+    occ = _dilate_occupancy(occ, neighbor_marks)
+
+    n_occ = int(occ.sum())
+    if n_occ > n_max_voxels:
+        raise ValueError(f"{n_occ} occupied voxels exceed capacity {n_max_voxels}")
+
+    idx_map = np.full(shape, -1, dtype=np.int32)
+    idx_map[occ] = np.arange(n_occ, dtype=np.int32)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # torch.nn.Embedding default init: N(0, 1)
+    features = jax.random.normal(key, (n_max_voxels, channels), jnp.float32)
+
+    topo = VoxelTopology(
+        idx_map=jnp.asarray(idx_map.reshape(-1)),
+        occupancy=jnp.asarray(occ.reshape(-1)),
+        voxel_size=jnp.float32(voxel_size),
+        voxel_offset=jnp.asarray(offset, dtype=jnp.float32),
+        n_occupied=jnp.int32(n_occ),
+    )
+    static = VoxelStatic(
+        shape=shape,
+        channels=channels,
+        n_freq_voxel=n_freq_voxel,
+        n_max_voxels=n_max_voxels,
+    )
+    return features, topo, static
+
+
+def build_voxel_grid_from_config(pcd_xyz, cfg, key=None):
+    """Convenience wrapper reading the reference config schema."""
+    return build_voxel_grid(
+        pcd_xyz,
+        scene_center=cfg.dataset_extra.scene_center,
+        scale_factor=float(cfg.dataset_extra.scale_factor),
+        voxel_size_world=float(cfg.dataset_extra.voxel_size),
+        neighbor_marks=int(cfg.dataset_extra.neighbor_marks),
+        channels=int(cfg.model.N_scn_voxel_size) + int(cfg.model.N_obj_voxel_size),
+        n_freq_voxel=int(cfg.model.N_freq_voxel),
+        n_max_voxels=int(cfg.model.N_max_voxels),
+        key=key,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookup (jitted, on the render hot path)
+# ---------------------------------------------------------------------------
+
+_CORNERS = np.array(
+    [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]],
+    dtype=np.int32,
+)  # binary order matches the reference's itertools.product weights
+
+
+def _flat_index(q: jnp.ndarray, shape) -> jnp.ndarray:
+    return (q[..., 0] * shape[1] + q[..., 1]) * shape[2] + q[..., 2]
+
+
+def _gather_rows(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    q: jnp.ndarray,  # (..., 3) int32 quantized coords
+):
+    """Row-gather with out-of-bounds / empty masking.
+
+    Returns (ftr (..., C), invalid (...,) bool) — matches
+    get_voxel_feature_sparse_from_quantized (embedding_helper.py:331-352).
+    """
+    shape = jnp.asarray(static.shape, jnp.int32)
+    oob = jnp.any((q < 0) | (q >= shape), axis=-1)
+    q_safe = jnp.clip(q, 0, shape - 1)
+    emb_idx = topo.idx_map[_flat_index(q_safe, static.shape)]
+    invalid = oob | (emb_idx < 0)
+    ftr = jnp.take(features, jnp.maximum(emb_idx, 0), axis=0)
+    ftr = jnp.where(invalid[..., None], 0.0, ftr)
+    return ftr, invalid
+
+
+def voxel_lookup_raw(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    xyz: jnp.ndarray,  # (N, 3) normalized coords
+    trilinear: bool = True,
+):
+    """Raw (un-encoded) voxel features at xyz. Returns (ftr (N, C), invalid)."""
+    xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
+    if not trilinear:
+        q = jnp.round(xyz_scaled).astype(jnp.int32)
+        return _gather_rows(features, topo, static, q)
+
+    base = jnp.floor(xyz_scaled)
+    q0 = base.astype(jnp.int32)
+    # (N, 8, 3) corner coordinates
+    q = q0[:, None, :] + jnp.asarray(_CORNERS)[None, :, :]
+    ftr, invalid = _gather_rows(features, topo, static, q)  # (N, 8, C), (N, 8)
+
+    p = xyz_scaled - base  # (N, 3) fractional position
+    u, v, w = p[:, 0:1], p[:, 1:2], p[:, 2:3]
+    lu, lv, lw = 1.0 - u, 1.0 - v, 1.0 - w
+    # corner weight order matches _CORNERS binary order
+    wts = jnp.concatenate(
+        [lu * lv * lw, lu * lv * w, lu * v * lw, lu * v * w,
+         u * lv * lw, u * lv * w, u * v * lw, u * v * w],
+        axis=-1,
+    )  # (N, 8)
+    out = jnp.sum(ftr * wts[..., None], axis=1)
+    all_invalid = jnp.all(invalid, axis=-1)
+    return out, all_invalid
+
+
+def voxel_embed(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    xyz: jnp.ndarray,
+    n_freq_xyz: int = 10,
+):
+    """The full EmbeddingVoxel.forward (embedding_helper.py:325-329):
+
+    returns (emb_xyz = [PE(scene_ftr), PE(xyz)], obj_voxel = PE(inst_ftr)).
+    """
+    raw, _ = voxel_lookup_raw(features, topo, static, xyz, trilinear=True)
+    scene_x = raw[:, : static.scene_channels]
+    inst_x = raw[:, static.scene_channels :]
+    scene_emb = freq_encode(scene_x, static.n_freq_voxel)
+    inst_emb = freq_encode(inst_x, static.n_freq_voxel)
+    xyz_emb = freq_encode(xyz, n_freq_xyz)
+    return jnp.concatenate([scene_emb, xyz_emb], axis=-1), inst_emb
+
+
+def check_occupancy(topo: VoxelTopology, static: VoxelStatic, xyz: jnp.ndarray):
+    """Occupancy at rounded xyz (embedding_helper.py:413-427)."""
+    q = jnp.round((xyz + topo.voxel_offset) / topo.voxel_size).astype(jnp.int32)
+    shape = jnp.asarray(static.shape, jnp.int32)
+    oob = jnp.any((q < 0) | (q >= shape), axis=-1)
+    q_safe = jnp.clip(q, 0, shape - 1)
+    occ = topo.occupancy[_flat_index(q_safe, static.shape)]
+    return jnp.where(oob, False, occ)
+
+
+def ray_box_intersection(
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    n_samples: int = 256,
+):
+    """Brute-force near/far tightening by occupancy probing
+    (embedding_helper.py:304-323)."""
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    z = near * (1 - t) + far * t  # (N, S)
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    occ = check_occupancy(topo, static, xyz.reshape(-1, 3)).reshape(z.shape)
+    near_out = jnp.min(z + (~occ) * 1e9, axis=-1, keepdims=True)
+    near_out = jnp.where(near_out > 1e5, near, near_out)
+    far_out = jnp.max(z * occ, axis=-1, keepdims=True)
+    far_out = jnp.where(far_out == 0, far, far_out)
+    return near_out, far_out
+
+
+# ---------------------------------------------------------------------------
+# Progressive training: prune + subdivide (host-orchestrated)
+# ---------------------------------------------------------------------------
+
+
+def prune_empty_voxels(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    sigma_fn,
+    key,
+    max_alpha_th: float = 0.5,
+    samples_per_voxel: int = 16**3,
+    voxel_batch: int = 256,
+):
+    """Drop voxels whose max alpha over random interior samples is below
+    threshold (embedding_helper.py:202-245). sigma_fn: (emb_xyz (M, C)) ->
+    sigma (M,), typically the fine scene branch with sigma_only.
+
+    Returns a new VoxelTopology (same shapes — no recompile).
+    """
+    occ3 = np.asarray(topo.occupancy).reshape(static.shape)
+    idx_occ = np.argwhere(occ3)  # (K, 3)
+    if len(idx_occ) == 0:
+        return topo  # nothing left to prune
+    voxel_size = float(topo.voxel_size)
+    offset = np.asarray(topo.voxel_offset)
+    voxel_xyz = idx_occ.astype(np.float32) * voxel_size - offset
+
+    @jax.jit
+    def eval_batch(xyz_batch, k):
+        jitter = (
+            jax.random.uniform(k, xyz_batch.shape) * voxel_size - voxel_size / 2
+        )
+        pts = xyz_batch + jitter
+        emb_xyz, _ = voxel_embed(features, topo, static, pts)
+        sigma = sigma_fn(emb_xyz)
+        # alpha over 1 m of field (embedding_helper.py:224-226)
+        return 1.0 - jnp.exp(-jax.nn.relu(sigma))
+
+    empty = []
+    n = len(voxel_xyz)
+    step = voxel_batch
+    for i in range(0, n, step):
+        chunk = voxel_xyz[i : i + step]
+        pad = step - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, 3), np.float32)])
+        pts = np.repeat(chunk, samples_per_voxel, axis=0)
+        key, sub = jax.random.split(key)
+        alphas = eval_batch(jnp.asarray(pts), sub)
+        alphas = np.asarray(alphas).reshape(step, samples_per_voxel).max(-1)
+        empty.append(alphas[: len(chunk) - pad if pad else step] < max_alpha_th)
+    empty = np.concatenate(empty)[:n]
+
+    keep3 = occ3.copy()
+    drop = idx_occ[empty]
+    keep3[drop[:, 0], drop[:, 1], drop[:, 2]] = False
+    idx_map = np.asarray(topo.idx_map).reshape(static.shape).copy()
+    idx_map[drop[:, 0], drop[:, 1], drop[:, 2]] = -1
+    return topo._replace(
+        idx_map=jnp.asarray(idx_map.reshape(-1)),
+        occupancy=jnp.asarray(keep3.reshape(-1)),
+        n_occupied=jnp.int32(int(keep3.sum())),
+    )
+
+
+def subdivide_voxels(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    chunk: int = 1 << 18,
+):
+    """Halve voxel size; each voxel spawns 8 children whose features are the
+    trilinear resample of the parent grid at the child corner positions
+    (embedding_helper.py:247-302).
+
+    Returns (new_features, new_topology, new_static) — shapes double, so the
+    caller should expect one recompile of lookup-consuming programs.
+    """
+    occ3 = np.asarray(topo.occupancy).reshape(static.shape)
+    idx_occ = np.argwhere(occ3)
+    voxel_size = float(topo.voxel_size)
+    offset = np.asarray(topo.voxel_offset, np.float64)
+    voxel_xyz = idx_occ.astype(np.float64) * voxel_size - offset
+
+    target = voxel_size / 2
+    children = [voxel_xyz + c * target for c in _CORNERS.astype(np.float64)]
+    new_xyz = np.concatenate(children, 0)
+    new_coord = np.round((new_xyz + offset) / target).astype(np.int64)
+
+    new_shape = tuple(s * 2 for s in static.shape)
+    if len(new_xyz) > static.n_max_voxels:
+        raise ValueError(
+            f"subdivision needs {len(new_xyz)} voxels > capacity {static.n_max_voxels}"
+        )
+
+    # resample features at child positions from the OLD grid
+    feats = []
+    lookup = jax.jit(
+        lambda pts: voxel_lookup_raw(features, topo, static, pts, trilinear=True)[0]
+    )
+    for i in range(0, len(new_xyz), chunk):
+        feats.append(np.asarray(lookup(jnp.asarray(new_xyz[i : i + chunk], jnp.float32))))
+    new_ftrs = np.concatenate(feats, 0)
+
+    occ_new = np.zeros(new_shape, dtype=bool)
+    occ_new[new_coord[:, 0], new_coord[:, 1], new_coord[:, 2]] = True
+    n_occ = int(occ_new.sum())
+    idx_map_new = np.full(new_shape, -1, dtype=np.int32)
+    idx_map_new[occ_new] = np.arange(n_occ, dtype=np.int32)
+
+    # scatter resampled features into the new rows (last write wins on dup
+    # coordinates, mirroring the reference's index_put semantics)
+    assign = idx_map_new[new_coord[:, 0], new_coord[:, 1], new_coord[:, 2]]
+    feat_np = np.asarray(features).copy()
+    feat_np[assign] = new_ftrs
+
+    new_topo = VoxelTopology(
+        idx_map=jnp.asarray(idx_map_new.reshape(-1)),
+        occupancy=jnp.asarray(occ_new.reshape(-1)),
+        voxel_size=jnp.float32(target),
+        voxel_offset=jnp.asarray(offset, dtype=jnp.float32),
+        n_occupied=jnp.int32(n_occ),
+    )
+    new_static = dataclasses.replace(static, shape=new_shape)
+    return jnp.asarray(feat_np), new_topo, new_static

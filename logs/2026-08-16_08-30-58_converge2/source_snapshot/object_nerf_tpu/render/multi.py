@@ -1,0 +1,222 @@
+"""Multi-object sort-merge compositing for editable rendering.
+
+Parity with the reference `render_rays_multi` / `volume_rendering_multi` /
+`inference_from_model` (render_tools/multi_rendering.py:16-325):
+
+* one ray set per active object (0 = background scene); per set stratified
+  z sampling over that set's near/far;
+* object evaluation through the *object branch* with that id's latent code,
+  background through the scene branch;
+* muted rays (far == 0, i.e. bbox miss) get sigma = -1e5
+  (multi_rendering.py:40-41,83,92);
+* background samples inside removed-object boxes get sigma = -1e5
+  (multi_rendering.py:239-241,309-311);
+* joint compositing: concat all objects' z/rgb/sigma, sort by z, gather,
+  single alpha-composite with last-delta = 0 (multi_rendering.py:96-157);
+* fine pass: per-object coarse weights recovered, sample_pdf per object,
+  re-evaluate, re-composite (multi_rendering.py:259-324).
+
+TPU-first differences:
+
+* the object count is static per call (one compiled program per edit
+  configuration — the reference recompiles nothing but pays Python loops);
+* the reference's per-channel `gather` workaround becomes one
+  `take_along_axis`;
+* per-object coarse-weight recovery inverts the sort permutation instead of
+  boolean-mask reshaping (bit-equivalent: z values per object are ascending,
+  and the sort is applied to the concatenated axis) — static shapes, no
+  `numel()` asserts needed;
+* removal muting evaluates the packed (affine, bounds) box arrays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.embedding import freq_encode
+from ..models.mlp import scene_forward, instance_forward
+from ..models.code_library import lookup_codes
+from ..ops.sampling import stratified_sample, sample_pdf
+from .renderer import RenderSettings, VoxelCtx, _embed_points
+
+MUTE_SIGMA = -1e5
+
+
+def _in_any_box(xyz, box_affines, box_bounds, scale_factor):
+    """xyz (N,3) NeRF coords → bool (N,): inside any removal box."""
+    p = xyz * scale_factor
+    p = jnp.einsum("bij,nj->bni", box_affines[:, :3, :3], p) + box_affines[
+        :, None, :3, 3
+    ]
+    inb = jnp.all(
+        (p >= box_bounds[:, None, 0]) & (p <= box_bounds[:, None, 1]), axis=-1
+    )
+    return jnp.any(inb, axis=0)
+
+
+def _eval_object(
+    params,
+    settings: RenderSettings,
+    voxel_ctx: VoxelCtx,
+    typ: str,
+    instance_id: int,
+    xyz: jnp.ndarray,  # (N, S, 3)
+    z_vals: jnp.ndarray,  # (N, S)
+    dir_embedded: jnp.ndarray,  # (N, C_dir)
+    skip_boxes,
+):
+    """(rgbs (N,S,3), sigmas (N,S)) for one object's ray set."""
+    n, s, _ = xyz.shape
+    flat = xyz.reshape(-1, 3)
+    emb_xyz, obj_voxel = _embed_points(flat, settings, voxel_ctx)
+    dir_flat = jnp.repeat(dir_embedded, s, axis=0)
+    mlp = params[typ]
+
+    if instance_id > 0:
+        codes = lookup_codes(
+            params["code_library"],
+            jnp.full((flat.shape[0],), instance_id, jnp.int32),
+        )
+        sigma, rgb = instance_forward(
+            mlp, settings.mlp, emb_xyz, codes, obj_voxel, dir_flat
+        )
+    else:
+        sigma, rgb = scene_forward(mlp, settings.mlp, emb_xyz, dir_flat)
+
+    sigma = sigma.reshape(n, s)
+    rgb = rgb.reshape(n, s, 3)
+
+    # mute rays whose bbox intersection missed (far == 0)
+    muted = z_vals[:, -1] == 0
+    sigma = jnp.where(muted[:, None], MUTE_SIGMA, sigma)
+
+    # mute background samples inside removed objects
+    if instance_id == 0 and skip_boxes is not None:
+        affines, bounds, scale = skip_boxes
+        inb = _in_any_box(flat, affines, bounds, scale).reshape(n, s)
+        sigma = jnp.where(inb, MUTE_SIGMA, sigma)
+    return rgb, sigma
+
+
+def _composite_multi(
+    results: Dict[str, jnp.ndarray],
+    typ: str,
+    z_list, rgb_list, sigma_list,
+    key, noise_std: float, white_back: bool,
+    keep_sort_idx: bool,
+):
+    z = jnp.concatenate(z_list, axis=1)  # (N, S_total)
+    rgb = jnp.concatenate(rgb_list, axis=1)
+    sigma = jnp.concatenate(sigma_list, axis=1)
+
+    idx = jnp.argsort(z, axis=-1)
+    z = jnp.take_along_axis(z, idx, axis=-1)
+    sigma = jnp.take_along_axis(sigma, idx, axis=-1)
+    rgb = jnp.take_along_axis(rgb, idx[..., None], axis=1)
+    if keep_sort_idx:
+        results[f"sort_idx_{typ}"] = idx
+
+    deltas = z[:, 1:] - z[:, :-1]
+    deltas = jnp.concatenate([deltas, jnp.zeros_like(deltas[:, :1])], -1)
+    if noise_std > 0 and key is not None:
+        sigma = sigma + jax.random.normal(key, sigma.shape) * noise_std
+    alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigma))
+    trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    weights = alphas * trans
+
+    opacity = jnp.sum(weights, -1)
+    rgb_map = jnp.sum(weights[..., None] * rgb, -2)
+    depth_map = jnp.sum(weights * z, -1)
+    if white_back:
+        rgb_map = rgb_map + 1.0 - opacity[..., None]
+
+    results[f"weights_{typ}"] = weights
+    results[f"opacity_{typ}"] = opacity
+    results[f"z_vals_{typ}"] = z
+    results[f"rgb_{typ}"] = rgb_map
+    results[f"depth_{typ}"] = depth_map
+
+
+def render_rays_multi(
+    params: Dict[str, Any],
+    rays_list: Sequence[jnp.ndarray],  # K × (N, 8)
+    obj_instance_ids: Tuple[int, ...],
+    key: jnp.ndarray,
+    settings: RenderSettings,
+    voxel_ctx: VoxelCtx = None,
+    skip_boxes: Optional[tuple] = None,  # (affines (B,4,4), bounds (B,2,3), scale)
+) -> Dict[str, jnp.ndarray]:
+    """Joint multi-object render. obj_instance_ids is static (one compile per
+    edit configuration)."""
+    assert len(rays_list) == len(obj_instance_ids)
+    k_perturb, k_nc, k_pdf, k_nf = jax.random.split(key, 4)
+    n_obj = len(rays_list)
+    n_samples = settings.N_samples
+
+    z_list, xyz_list, dir_list, o_list, d_list = [], [], [], [], []
+    for rays in rays_list:
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        z = stratified_sample(
+            k_perturb, near, far, n_samples, settings.use_disp, settings.perturb
+        )
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+        z_list.append(z)
+        xyz_list.append(xyz)
+        dir_list.append(freq_encode(rays_d, settings.mlp.N_freq_dir))
+        o_list.append(rays_o)
+        d_list.append(rays_d)
+
+    rgb_list, sigma_list = [], []
+    for i in range(n_obj):
+        rgb, sigma = _eval_object(
+            params, settings, voxel_ctx, "coarse", obj_instance_ids[i],
+            xyz_list[i], z_list[i], dir_list[i], skip_boxes,
+        )
+        rgb_list.append(rgb)
+        sigma_list.append(sigma)
+
+    results: Dict[str, jnp.ndarray] = {}
+    _composite_multi(
+        results, "coarse", z_list, rgb_list, sigma_list,
+        k_nc, settings.noise_std, settings.white_back,
+        keep_sort_idx=settings.N_importance > 0,
+    )
+
+    if settings.N_importance > 0:
+        # recover per-object coarse weights by inverting the sort permutation
+        idx = results.pop("sort_idx_coarse")
+        inv = jnp.argsort(idx, axis=-1)
+        w_orig = jnp.take_along_axis(results["weights_coarse"], inv, axis=-1)
+
+        rgb_list, sigma_list, zf_list = [], [], []
+        for i in range(n_obj):
+            w_i = w_orig[:, i * n_samples : (i + 1) * n_samples]
+            z = z_list[i]
+            z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+            z_imp = sample_pdf(
+                k_pdf, z_mid, w_i[:, 1:-1], settings.N_importance,
+                det=(settings.perturb == 0),
+            )
+            z_all = jnp.sort(jnp.concatenate([z, z_imp], -1), -1)
+            xyz_f = (
+                o_list[i][:, None, :] + d_list[i][:, None, :] * z_all[..., None]
+            )
+            rgb, sigma = _eval_object(
+                params, settings, voxel_ctx, "fine", obj_instance_ids[i],
+                xyz_f, z_all, dir_list[i], skip_boxes,
+            )
+            zf_list.append(z_all)
+            rgb_list.append(rgb)
+            sigma_list.append(sigma)
+
+        _composite_multi(
+            results, "fine", zf_list, rgb_list, sigma_list,
+            k_nf, settings.noise_std, settings.white_back,
+            keep_sort_idx=False,
+        )
+    return results

@@ -1,0 +1,113 @@
+"""Fully-fused render (MLP+compositing kernel) vs the XLA eval pipeline."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_nerf_tpu.models.mlp import ObjectNeRFConfig, init_object_nerf
+from object_nerf_tpu.models.code_library import init_code_library, lookup_codes
+from object_nerf_tpu.render.renderer import (
+    RenderSettings, render_rays, render_rays_fused_eval,
+)
+
+CFG = ObjectNeRFConfig(
+    D=3, W=64, skips=(1,), inst_D=2, inst_W=32, inst_skips=(1,),
+    use_voxel_embedding=False, N_obj_code_length=16,
+)
+SETTINGS = RenderSettings(
+    mlp=CFG, N_samples=16, N_importance=8, perturb=0.0, noise_std=0.0,
+    forward_instance=True, is_eval=True,
+)
+
+
+def _params():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return {
+        "coarse": init_object_nerf(k1, CFG),
+        "fine": init_object_nerf(k2, CFG),
+        "code_library": init_code_library(k3, 8, 16),
+    }
+
+
+def _rays(n=16):
+    rng = np.random.RandomState(0)
+    o = rng.randn(n, 3).astype(np.float32) * 0.1
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(
+        np.concatenate(
+            [o, d, np.full((n, 1), 0.5, np.float32),
+             np.full((n, 1), 3.0, np.float32)], -1,
+        )
+    )
+
+
+def test_fused_eval_matches_xla_pipeline():
+    params = _params()
+    rays = _rays()
+    codes = lookup_codes(params["code_library"], jnp.zeros((16,), jnp.int32))
+
+    ref = render_rays(
+        params, rays, jax.random.PRNGKey(0), SETTINGS,
+        embedding_instance=codes,
+    )
+    got = render_rays_fused_eval(
+        params, rays, SETTINGS, embedding_instance=codes, interpret=True,
+    )
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "depth_instance_fine",
+                "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=key,
+        )
+
+
+def test_fused_eval_voxel_path():
+    import numpy as onp
+    from object_nerf_tpu.models import voxel_grid as vg
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(1), 4)
+    pts = onp.random.RandomState(0).rand(400, 3) * 3 - 1.5
+    features, topo, static = vg.build_voxel_grid(
+        pts, [0, 0, 0], 1.0, 0.4, 3, 24, 2, 20000, key=k4,
+    )
+    params = {
+        "coarse": init_object_nerf(k1, cfg),
+        "fine": init_object_nerf(k2, cfg),
+        "code_library": init_code_library(k3, 8, 16),
+    }
+    settings = dataclasses.replace(SETTINGS, mlp=cfg)
+    rays = _rays(8)
+    codes = lookup_codes(params["code_library"], jnp.zeros((8,), jnp.int32))
+    voxel_ctx = (features, topo, static)
+    ref = render_rays(
+        params, rays, jax.random.PRNGKey(0), settings, voxel_ctx=voxel_ctx,
+        embedding_instance=codes,
+    )
+    got = render_rays_fused_eval(
+        params, rays, settings, voxel_ctx=voxel_ctx,
+        embedding_instance=codes, interpret=True,
+    )
+    for key in ("rgb_fine", "opacity_fine", "rgb_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=key,
+        )
+
+
+def test_fused_eval_coarse_only_white_back():
+    params = _params()
+    settings = dataclasses.replace(
+        SETTINGS, N_importance=0, white_back=True, forward_instance=False
+    )
+    rays = _rays(8)
+    ref = render_rays(params, rays, jax.random.PRNGKey(0), settings)
+    got = render_rays_fused_eval(params, rays, settings, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_coarse"]), np.asarray(ref["rgb_coarse"]),
+        rtol=1e-3, atol=2e-4,
+    )

@@ -1,0 +1,105 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_nerf_tpu.models.mlp import ObjectNeRFConfig, init_object_nerf
+from object_nerf_tpu.models.code_library import init_code_library, lookup_codes
+from object_nerf_tpu.render.renderer import RenderSettings, render_rays
+
+CFG = ObjectNeRFConfig(
+    D=2, W=32, skips=(1,), inst_D=2, inst_W=16, inst_skips=(1,),
+    use_voxel_embedding=False, N_obj_code_length=8,
+)
+
+
+def _params(key=0):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(key), 3)
+    return {
+        "coarse": init_object_nerf(k1, CFG),
+        "fine": init_object_nerf(k2, CFG),
+        "code_library": init_code_library(k3, 16, 8),
+    }
+
+
+def _rays(n=12):
+    rng = np.random.RandomState(0)
+    o = rng.randn(n, 3).astype(np.float32) * 0.1
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    near = np.full((n, 1), 0.5, np.float32)
+    far = np.full((n, 1), 3.0, np.float32)
+    return jnp.asarray(np.concatenate([o, d, near, far], -1))
+
+
+def test_full_pipeline_keys_and_shapes():
+    params = _params()
+    n = 12
+    settings = RenderSettings(mlp=CFG, N_samples=16, N_importance=8,
+                              forward_instance=True, frustum_bound_th=0.01)
+    codes = lookup_codes(params["code_library"], jnp.zeros((n,), jnp.int32))
+    out = render_rays(params, _rays(n), jax.random.PRNGKey(0), settings,
+                      embedding_instance=codes,
+                      pass_through_mask=jnp.zeros((n,), bool))
+    for typ, s in (("coarse", 16), ("fine", 24)):
+        assert out[f"rgb_{typ}"].shape == (n, 3)
+        assert out[f"depth_{typ}"].shape == (n,)
+        assert out[f"weights_{typ}"].shape == (n, s)
+        assert out[f"opacity_instance_{typ}"].shape == (n,)
+        assert out[f"rgb_instance_{typ}"].shape == (n, 3)
+    z = np.asarray(out["z_vals_fine"])
+    assert np.all(np.diff(z, axis=-1) >= 0)  # merged z sorted
+
+
+def test_deterministic_given_key():
+    params = _params()
+    settings = RenderSettings(mlp=CFG, N_samples=8, N_importance=4,
+                              forward_instance=False)
+    r1 = render_rays(params, _rays(), jax.random.PRNGKey(5), settings)
+    r2 = render_rays(params, _rays(), jax.random.PRNGKey(5), settings)
+    np.testing.assert_array_equal(np.asarray(r1["rgb_fine"]), np.asarray(r2["rgb_fine"]))
+    r3 = render_rays(params, _rays(), jax.random.PRNGKey(6), settings)
+    assert np.abs(np.asarray(r1["rgb_fine"]) - np.asarray(r3["rgb_fine"])).max() > 0
+
+
+def test_eval_mode_no_stochasticity():
+    params = _params()
+    settings = RenderSettings(mlp=CFG, N_samples=8, N_importance=4,
+                              perturb=0.0, noise_std=0.0,
+                              forward_instance=False, is_eval=True)
+    r1 = render_rays(params, _rays(), jax.random.PRNGKey(1), settings)
+    r2 = render_rays(params, _rays(), jax.random.PRNGKey(2), settings)
+    np.testing.assert_allclose(
+        np.asarray(r1["rgb_fine"]), np.asarray(r2["rgb_fine"]), atol=1e-6
+    )
+
+
+def test_coarse_only():
+    params = _params()
+    settings = RenderSettings(mlp=CFG, N_samples=8, N_importance=0,
+                              forward_instance=False)
+    out = render_rays(params, _rays(), jax.random.PRNGKey(0), settings)
+    assert "rgb_fine" not in out and "rgb_coarse" in out
+
+
+def test_jit_compiles_once_and_grads_flow():
+    params = _params()
+    settings = RenderSettings(mlp=CFG, N_samples=8, N_importance=4,
+                              forward_instance=False)
+    rays = _rays()
+
+    @jax.jit
+    def loss_fn(p, key):
+        out = render_rays(p, rays, key, settings)
+        return jnp.mean(out["rgb_fine"] ** 2)
+
+    g = jax.grad(loss_fn)(params, jax.random.PRNGKey(0))
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g["fine"], 0.0
+    )
+    assert gnorm > 0
+    # coarse also receives grads through its own compositing loss? No — only
+    # through sample_pdf, which stops gradients: coarse grads must be zero here.
+    gc = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), g["coarse"], 0.0
+    )
+    assert gc == 0.0

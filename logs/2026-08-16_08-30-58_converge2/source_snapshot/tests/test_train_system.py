@@ -1,0 +1,78 @@
+"""End-to-end: synthetic scene → jitted sharded train step → PSNR improves."""
+
+import numpy as np
+import jax
+
+from object_nerf_tpu.config import load_config
+from object_nerf_tpu.data.synthetic import SyntheticDataset
+from object_nerf_tpu.train.system import ObjectNeRFSystem
+
+
+def _tiny_config(**over):
+    cfg = load_config()
+    cfg.model.merge(
+        dict(
+            use_voxel_embedding=False,
+            D=3, W=64, skips=[1], inst_D=2, inst_W=32, inst_skips=[1],
+            N_samples=24, N_importance=16, N_max_objs=8, N_obj_code_length=16,
+            frustum_bound=0.05, noise_std=0,
+        )
+    )
+    cfg.train.merge(dict(batch_size=512, num_epochs=2, lr=5e-3))
+    cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0))
+    cfg.merge(over)
+    return cfg
+
+
+def test_train_step_improves_psnr():
+    cfg = _tiny_config()
+    ds = SyntheticDataset("train", img_wh=(40, 30), n_frames=6,
+                          dataset_extra=cfg.dataset_extra)
+    val = SyntheticDataset("val", img_wh=(40, 30),
+                           dataset_extra=cfg.dataset_extra)
+    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=val)
+
+    rng = np.random.RandomState(0)
+    m0 = system.training_step(ds.sample_batch(512, rng))
+    first_psnr = float(m0["train/psnr"])
+    for _ in range(100):
+        m = system.training_step(ds.sample_batch(512, rng))
+    last_psnr = float(m["train/psnr"])
+    assert np.isfinite(first_psnr) and np.isfinite(last_psnr)
+    assert last_psnr > first_psnr + 1.5, (first_psnr, last_psnr)
+
+    # loss components all present and finite
+    m = {k: float(v) for k, v in jax.device_get(m).items()}
+    for k in ("train/loss", "train/color_loss", "train/opacity_loss",
+              "train/instance_color_loss", "train/depth_loss", "lr"):
+        assert k in m and np.isfinite(m[k]), (k, m)
+
+
+def test_validation_render_and_metrics():
+    cfg = _tiny_config()
+    ds = SyntheticDataset("train", img_wh=(32, 24), n_frames=3,
+                          dataset_extra=cfg.dataset_extra)
+    val = SyntheticDataset("val", img_wh=(32, 24),
+                           dataset_extra=cfg.dataset_extra)
+    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=val)
+    metrics, out = system.validation(chunk=256)
+    assert np.isfinite(metrics["val/psnr"])
+    assert out["rgb_fine"].shape == (32 * 24, 3)
+    assert out["depth_fine"].shape == (32 * 24,)
+    assert out["opacity_instance_fine"].shape == (32 * 24,)
+
+
+def test_batch_is_sharded_over_mesh():
+    cfg = _tiny_config()
+    ds = SyntheticDataset("train", img_wh=(32, 24), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    assert system.n_devices == len(jax.devices())
+    batch = system._device_batch(ds.sample_batch(512))
+    # rays sharded over the data axis: each device holds 512/n rows
+    shard_shapes = {s.data.shape for s in batch["rays"].addressable_shards}
+    assert shard_shapes == {(512 // system.n_devices, 8)}
+    # params replicated
+    w = system.state.params["coarse"]["scene"]["trunk"][0]["w"]
+    assert len({s.data.shape for s in w.addressable_shards}) == 1
+    assert next(iter({s.data.shape for s in w.addressable_shards})) == w.shape

@@ -1,0 +1,147 @@
+"""Sparse voxel grid: build, trilinear lookup, occupancy, prune, subdivide."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from object_nerf_tpu.models import voxel_grid as vg
+
+
+def _build(n_pts=500, voxel_size=0.25, neighbor=1, channels=24, cap=5000,
+           seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(n_pts, 3) * 2.0 - 1.0
+    return vg.build_voxel_grid(
+        pts, scene_center=[0, 0, 0], scale_factor=1.0,
+        voxel_size_world=voxel_size, neighbor_marks=neighbor,
+        channels=channels, n_freq_voxel=2, n_max_voxels=cap,
+        key=jax.random.PRNGKey(seed),
+    )
+
+
+def test_build_marks_point_voxels():
+    features, topo, static = _build()
+    pts = np.random.RandomState(0).rand(500, 3) * 2.0 - 1.0
+    occ = np.asarray(vg.check_occupancy(topo, static, jnp.asarray(pts, jnp.float32)))
+    assert occ.mean() > 0.99  # every input point's voxel is occupied
+    # far away → unoccupied
+    far = np.full((10, 3), 50.0, np.float32)
+    assert not np.asarray(vg.check_occupancy(topo, static, jnp.asarray(far))).any()
+
+
+def test_dilation_grows_occupancy():
+    f1, t1, s1 = _build(neighbor=1)
+    f3, t3, s3 = _build(neighbor=3)
+    assert int(t3.n_occupied) > int(t1.n_occupied)
+
+
+def test_trilinear_matches_numpy_oracle():
+    features, topo, static = _build(n_pts=200, voxel_size=0.5, neighbor=3)
+    feats_np = np.asarray(features)
+    idx_map = np.asarray(topo.idx_map).reshape(static.shape)
+    offset = np.asarray(topo.voxel_offset)
+    vs = float(topo.voxel_size)
+
+    rng = np.random.RandomState(1)
+    pts = (rng.rand(64, 3) * 1.6 - 0.8).astype(np.float32)
+
+    got, invalid = vg.voxel_lookup_raw(
+        features, topo, static, jnp.asarray(pts), trilinear=True
+    )
+    got, invalid = np.asarray(got), np.asarray(invalid)
+
+    # numpy oracle
+    scaled = (pts + offset) / vs
+    base = np.floor(scaled).astype(int)
+    frac = scaled - base
+    expect = np.zeros((64, static.channels), np.float32)
+    n_inval = np.zeros(64, int)
+    for ci, (dx, dy, dz) in enumerate(
+        [(0,0,0),(0,0,1),(0,1,0),(0,1,1),(1,0,0),(1,0,1),(1,1,0),(1,1,1)]
+    ):
+        q = base + [dx, dy, dz]
+        w = (
+            (frac[:, 0] if dx else 1 - frac[:, 0])
+            * (frac[:, 1] if dy else 1 - frac[:, 1])
+            * (frac[:, 2] if dz else 1 - frac[:, 2])
+        )
+        for i in range(64):
+            inb = np.all((q[i] >= 0) & (q[i] < np.array(static.shape)))
+            row = idx_map[tuple(q[i])] if inb else -1
+            if row >= 0:
+                expect[i] += w[i] * feats_np[row]
+            else:
+                n_inval[i] += 1
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(invalid, n_inval == 8)
+
+
+def test_voxel_embed_channel_layout():
+    features, topo, static = _build(channels=24)
+    pts = jnp.zeros((5, 3))
+    emb_xyz, inst = vg.voxel_embed(features, topo, static, pts, n_freq_xyz=10)
+    # scene: 16 * (2*2+1) = 80 voxel channels + 63 xyz PE
+    assert emb_xyz.shape == (5, 16 * 5 + 63)
+    assert inst.shape == (5, 8 * 5)
+
+
+def test_prune_removes_empty_voxels():
+    features, topo, static = _build(n_pts=100, voxel_size=0.5)
+    before = int(topo.n_occupied)
+
+    def sigma_fn(emb_xyz):  # everything empty → everything pruned
+        return jnp.full((emb_xyz.shape[0],), -10.0)
+
+    topo2 = vg.prune_empty_voxels(
+        features, topo, static, sigma_fn, jax.random.PRNGKey(0),
+        samples_per_voxel=8, voxel_batch=64,
+    )
+    assert int(topo2.n_occupied) == 0
+    assert before > 0
+    # shapes unchanged → no recompile needed
+    assert topo2.idx_map.shape == topo.idx_map.shape
+
+    def sigma_dense(emb_xyz):  # everything solid → nothing pruned
+        return jnp.full((emb_xyz.shape[0],), 100.0)
+
+    topo3 = vg.prune_empty_voxels(
+        features, topo, static, sigma_dense, jax.random.PRNGKey(0),
+        samples_per_voxel=8, voxel_batch=64,
+    )
+    assert int(topo3.n_occupied) == before
+
+
+def test_subdivision_halves_voxel_size_and_preserves_field():
+    features, topo, static = _build(n_pts=60, voxel_size=0.5, cap=60000)
+    f2, topo2, static2 = vg.subdivide_voxels(features, topo, static)
+    assert static2.shape == tuple(2 * s for s in static.shape)
+    np.testing.assert_allclose(
+        float(topo2.voxel_size), float(topo.voxel_size) / 2
+    )
+    assert int(topo2.n_occupied) > int(topo.n_occupied)
+
+    # the interpolated field is preserved at points well inside occupancy
+    rng = np.random.RandomState(3)
+    occ3 = np.asarray(topo.occupancy).reshape(static.shape)
+    idx = np.argwhere(occ3)
+    centers = idx * float(topo.voxel_size) - np.asarray(topo.voxel_offset)
+    pts = jnp.asarray(centers[:20], jnp.float32)
+    v_old, _ = vg.voxel_lookup_raw(features, topo, static, pts)
+    v_new, _ = vg.voxel_lookup_raw(f2, topo2, static2, pts)
+    np.testing.assert_allclose(
+        np.asarray(v_new), np.asarray(v_old), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_ray_box_intersection_tightens():
+    features, topo, static = _build(n_pts=300, voxel_size=0.3, neighbor=3)
+    n = 8
+    rays_o = np.tile(np.array([[0.0, 0.0, 5.0]], np.float32), (n, 1))
+    rays_d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    near = jnp.full((n, 1), 0.1)
+    far = jnp.full((n, 1), 12.0)
+    n2, f2 = vg.ray_box_intersection(
+        topo, static, jnp.asarray(rays_o), jnp.asarray(rays_d), near, far
+    )
+    assert float(n2.min()) > 0.1  # tightened: scene is z∈[-1,1], start z=5
+    assert float(f2.max()) < 12.0

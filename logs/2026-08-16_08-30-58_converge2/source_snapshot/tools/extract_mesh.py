@@ -1,0 +1,201 @@
+"""Mesh extraction CLI — the reference tools/extract_mesh.py contract.
+
+Usage:
+    python tools/extract_mesh.py dataset_config=config/toy_desk_2.yml \
+        ckpt_path=logs/.../step_N obj_id=0 N_grid=256 sigma_threshold=20
+
+Queries the fine model's sigma on a dense N³ grid (scene branch, or the
+object branch with a latent code when obj_id > 0, extract_mesh.py:95-110),
+runs iso-surface extraction (marching tetrahedra here — PyMCubes is
+unavailable; same capability), rescales vertices by scale_factor with the
+reference's x/y swap (extract_mesh.py:124-134), optionally predicts vertex
+colors with normals as view directions (extract_mesh.py:140-164), keeps the
+largest connected component, and writes a PLY.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+SCRIPT_CONF = {
+    "N_grid": 512,
+    "x_range": [-1.5, 1.5],
+    "y_range": [-1.5, 1.5],
+    "z_range": [-1.5, 1.5],
+    "sigma_threshold": 20.0,
+    "chunk": 64 * 1024,
+    "predict_color": False,
+    "obj_id": 0,
+    "prefix": "",
+    "keep_largest_component": True,
+    "out_dir": "debug",
+}
+
+
+def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
+    """Dense sigma query of the fine model over the configured grid."""
+    import jax
+    import jax.numpy as jnp
+    from object_nerf_tpu.models.mlp import scene_forward, instance_forward
+    from object_nerf_tpu.models.code_library import lookup_codes
+    from object_nerf_tpu.render.renderer import _embed_points
+
+    n = int(config.N_grid)
+    xmin, xmax = config.x_range
+    ymin, ymax = config.y_range
+    zmin, zmax = config.z_range
+    xs = np.linspace(xmin, xmax, n, dtype=np.float32)
+    ys = np.linspace(ymin, ymax, n, dtype=np.float32)
+    zs = np.linspace(zmin, zmax, n, dtype=np.float32)
+
+    mlp = params.get("fine", params["coarse"])
+    chunk = int(config.chunk)
+
+    @jax.jit
+    def sigma_fn(pts):
+        emb, obj_voxel = _embed_points(pts, settings, voxel_ctx)
+        if obj_id > 0:
+            codes = lookup_codes(
+                params["code_library"],
+                jnp.full((pts.shape[0],), obj_id, jnp.int32),
+            )
+            s, _ = instance_forward(
+                mlp, settings.mlp, emb, codes, obj_voxel, None, sigma_only=True
+            )
+        else:
+            s, _ = scene_forward(mlp, settings.mlp, emb, None, sigma_only=True)
+        return s
+
+    sigma = np.empty((n, n, n), np.float32)
+    # process x-slabs; build pts per slab to bound host memory
+    yy, zz = np.meshgrid(ys, zs, indexing="ij")
+    plane = np.stack([yy.reshape(-1), zz.reshape(-1)], -1)  # (n*n, 2)
+    for i, xv in enumerate(xs):
+        pts = np.concatenate(
+            [np.full((n * n, 1), xv, np.float32), plane.astype(np.float32)], -1
+        )
+        out = []
+        for j in range(0, len(pts), chunk):
+            seg = pts[j : j + chunk]
+            pad = 0
+            if len(seg) < chunk and len(pts) > chunk:
+                pad = chunk - len(seg)
+                seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
+            s = np.asarray(sigma_fn(jnp.asarray(seg)))
+            out.append(s[: len(s) - pad] if pad else s)
+        sigma[i] = np.concatenate(out).reshape(n, n)
+        if i % 32 == 0:
+            print(f"\rsigma grid {i}/{n}", end="", flush=True)
+    print()
+    return np.maximum(sigma, 0.0)
+
+
+def main(argv):
+    import jax.numpy as jnp
+    from object_nerf_tpu.config import Config, load_config
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.train.checkpoint import load_any_checkpoint
+    from object_nerf_tpu.tools.marching import (
+        marching_tetrahedra, largest_connected_component,
+    )
+    from object_nerf_tpu.data.ply_io import write_ply
+
+    config = load_config(cli_args=argv)
+    config.merge({k: v for k, v in SCRIPT_CONF.items() if k not in config})
+    assert config.ckpt_path, "ckpt_path not set"
+
+    settings = RenderSettings.from_config(config, is_eval=True)
+    restored = load_any_checkpoint(config.ckpt_path, config.model)
+    params = restored["params"]
+
+    voxel_ctx = None
+    if config.model.get("use_voxel_embedding", True):
+        from object_nerf_tpu.models import voxel_grid as vg
+
+        topo_dict = restored.get("voxel_topo")
+        static_dict = restored.get("voxel_static")
+        if topo_dict is not None and static_dict is not None:
+            topo = vg.VoxelTopology(
+                **{k: jnp.asarray(v) for k, v in topo_dict.items()}
+            )
+            static = vg.VoxelStatic(
+                shape=tuple(int(x) for x in np.asarray(static_dict["shape"])),
+                channels=int(static_dict["channels"]),
+                n_freq_voxel=int(static_dict["n_freq_voxel"]),
+                n_max_voxels=int(static_dict["n_max_voxels"]),
+            )
+            voxel_ctx = (params["voxel_features"], topo, static)
+
+    obj_id = int(config.obj_id)
+    sigma = extract_sigma_grid(params, settings, voxel_ctx, config, obj_id)
+
+    print("Extracting mesh ...")
+    verts, faces = marching_tetrahedra(sigma, float(config.sigma_threshold))
+    print(f"{len(verts)} vertices, {len(faces)} faces")
+    if len(verts) == 0:
+        print("empty mesh — lower sigma_threshold?")
+        return
+
+    # index coords → world, with the reference's x/y swap (extract_mesh.py:124-130)
+    n = int(config.N_grid)
+    v = verts / n
+    xmin, xmax = config.x_range
+    ymin, ymax = config.y_range
+    zmin, zmax = config.z_range
+    out = np.empty_like(v)
+    out[:, 0] = (ymax - ymin) * v[:, 1] + ymin
+    out[:, 1] = (xmax - xmin) * v[:, 0] + xmin
+    out[:, 2] = (zmax - zmin) * v[:, 2] + zmin
+    out *= float(config.dataset_extra.scale_factor)
+
+    if config.keep_largest_component:
+        out, faces = largest_connected_component(out, faces)
+        print(f"largest component: {len(out)} vertices, {len(faces)} faces")
+
+    colors = None
+    if config.predict_color:
+        # vertex colors with inward normals as view dirs (extract_mesh.py:140-164)
+        import jax
+        from object_nerf_tpu.models.mlp import scene_forward
+        from object_nerf_tpu.models.embedding import freq_encode
+        from object_nerf_tpu.render.renderer import _embed_points
+
+        nrm = _vertex_normals(out, faces)
+        mlp = params.get("fine", params["coarse"])
+
+        @jax.jit
+        def color_fn(pts, dirs):
+            emb, _ = _embed_points(pts, settings, voxel_ctx)
+            d = freq_encode(dirs, settings.mlp.N_freq_dir)
+            _, rgb = scene_forward(mlp, settings.mlp, emb, d)
+            return rgb
+
+        pts_nerf = out / float(config.dataset_extra.scale_factor)
+        colors = np.asarray(
+            color_fn(jnp.asarray(pts_nerf), jnp.asarray(-nrm))
+        )
+
+    os.makedirs(config.out_dir, exist_ok=True)
+    out_path = os.path.join(
+        config.out_dir, f"extracted_mesh_{config.prefix}.ply"
+    )
+    write_ply(out_path, out, colors=colors, faces=faces)
+    print(f"wrote {out_path}")
+
+
+def _vertex_normals(verts, faces):
+    n = np.zeros_like(verts)
+    fv = verts[faces]
+    fn = np.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    for i in range(3):
+        np.add.at(n, faces[:, i], fn)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(norm, 1e-12)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

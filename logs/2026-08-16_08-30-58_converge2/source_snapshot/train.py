@@ -1,0 +1,90 @@
+"""Training CLI — the reference's train.py contract, TPU-native.
+
+Usage (same dotted-override UX as the reference, train.py:275-286):
+
+    python train.py dataset_config=config/toy_desk_2.yml exp_name=desk2 \
+        "img_wh=[640,480]" train.batch_size=2048
+
+Differences from the reference: no Lightning — the loop is
+ObjectNeRFSystem.fit (jitted sharded train step, Orbax checkpoints,
+TensorBoard-compatible scalar logging via tensorboardX when available).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv):
+    from object_nerf_tpu.config import load_config
+    from object_nerf_tpu.data import dataset_dict
+    from object_nerf_tpu.train.system import ObjectNeRFSystem
+    from object_nerf_tpu.train.checkpoint import (
+        save_checkpoint, save_config_snapshot,
+    )
+
+    config = load_config(cli_args=argv)
+    if "root_dir" not in config.dataset_extra and config.dataset_name != "synthetic":
+        raise SystemExit(
+            "error: no scene selected — pass dataset_config=config/<scene>.yml "
+            "(e.g. config/toy_desk_2.yml, or config/synthetic.yml for the "
+            "built-in test scene)"
+        )
+    exp_name = time.strftime("%Y-%m-%d_%H-%M-%S") + "_" + config.exp_name
+    log_path = os.path.join("logs", exp_name)
+    config["log_path"] = log_path
+    print("-" * 40)
+    print(config.to_yaml())
+    print("-" * 40)
+
+    dataset_cls = dataset_dict[config.dataset_name]
+    kwargs = dict(img_wh=tuple(config.img_wh), dataset_extra=config.dataset_extra)
+    train_ds = dataset_cls(split="train", **kwargs)
+    val_ds = dataset_cls(split="val", **kwargs)
+
+    system = ObjectNeRFSystem(config, dataset=train_ds, val_dataset=val_ds)
+    os.makedirs(log_path, exist_ok=True)
+    save_config_snapshot(log_path, config)
+    if config.get("snapshot_source", True):
+        from object_nerf_tpu.utils.snapshot import make_source_code_snapshot
+
+        make_source_code_snapshot(log_path)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(log_path)
+    except Exception:
+        pass
+
+    best_psnr = -np.inf
+
+    def on_val(epoch, it, metrics, sys_):
+        nonlocal best_psnr
+        step = int(sys_.state.step)
+        if writer:
+            for k, v in metrics.items():
+                writer.add_scalar(k, float(v), step)
+        vp = metrics.get("val/psnr", -np.inf)
+        save_checkpoint(
+            log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static, step=step
+        )
+        if vp > best_psnr:
+            best_psnr = vp
+        print(
+            f"  [val] epoch {epoch} it {it}: psnr {vp:.2f} (best {best_psnr:.2f})"
+        )
+
+    system.fit(callbacks=[on_val])
+    save_checkpoint(
+        log_path, system.state, system.voxel_topo, system.voxel_static,
+        step=int(system.state.step),
+    )
+    print(f"Done. Logs + checkpoints in {log_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

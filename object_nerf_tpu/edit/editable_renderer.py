@@ -79,12 +79,9 @@ class EditableRenderer:
         self.use_voxel = bool(
             self.ckpt_config.model.get("use_voxel_embedding", True)
         )
-        use_pallas = jax.default_backend() == "tpu"
         self.settings = RenderSettings.from_config(
             self.ckpt_config, is_eval=True, use_pallas=False,
         )
-        # the single-object origin render can use the fused kernel path
-        self.use_pallas = use_pallas
 
         if params is None:
             params, voxel = self._load_model(config.ckpt_path)
