@@ -326,6 +326,8 @@ def fused_mlp_eval(
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
     if rays_per_tile is None:
+        if use_voxel:
+            rows_budget //= 2  # voxel PE triples the live feature channels
         rays_per_tile = max(1, rows_budget // s)
     r = min(rays_per_tile, n_rays)
     while n_rays % r:

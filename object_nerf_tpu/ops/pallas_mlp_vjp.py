@@ -156,7 +156,7 @@ def _bwd_kernel(
         return hs, hf, denc, rgb
 
     def branch_bwd(tag, depth, skips, pieces, hs, hf, denc, rgb,
-                   g_sigma, g_rgb):
+                   g_sigma, g_rgb, need_piece_grad=None):
         # rgb head
         d_pre_r = g_rgb * rgb * (1.0 - rgb)
         acc(f"{tag}_rgb_w", _dot_t(denc, d_pre_r, dt))
@@ -178,35 +178,45 @@ def _bwd_kernel(
             _dot_nt(d_hf, w[f"{tag}_final_w"], dt)
             + _dot_nt(g_sigma, w[f"{tag}_sigma_w"], dt)
         )
-        # trunk, reversed
-        d_pieces = [jnp.zeros_like(p) for p in pieces]
+        # trunk, reversed; piece cotangents are only materialized when a
+        # consumer exists (voxel features / codes) — xyz and dir never
+        # feed trainable parameters, so their cotangents are skipped
+        if need_piece_grad is None:
+            need_piece_grad = [True] * len(pieces)
+        d_pieces = [
+            (jnp.zeros_like(p) if need else None)
+            for p, need in zip(pieces, need_piece_grad)
+        ]
         for i in reversed(range(depth)):
             d_pre = jnp.where(hs[i].astype(jnp.float32) >= 0, d_h,
                               d_h * LEAKY_SLOPE)
             bname = f"{tag}_trunk_{i}_b"
             acc(bname, _colsum(d_pre))
             h_in = hs[i - 1] if i > 0 else None
-            if i == 0:
+            if i == 0 or i in skips:
                 for j, p in enumerate(pieces):
                     acc(f"{tag}_trunk_{i}_w{j}", _dot_t(p, d_pre, dt))
-                    d_pieces[j] += _dot_nt(d_pre, w[f"{tag}_trunk_{i}_w{j}"], dt)
-                d_h = None
-            elif i in skips:
-                for j, p in enumerate(pieces):
-                    acc(f"{tag}_trunk_{i}_w{j}", _dot_t(p, d_pre, dt))
-                    d_pieces[j] += _dot_nt(d_pre, w[f"{tag}_trunk_{i}_w{j}"], dt)
-                acc(f"{tag}_trunk_{i}_wh", _dot_t(h_in, d_pre, dt))
-                d_h = _dot_nt(d_pre, w[f"{tag}_trunk_{i}_wh"], dt)
+                    if need_piece_grad[j]:
+                        d_pieces[j] += _dot_nt(
+                            d_pre, w[f"{tag}_trunk_{i}_w{j}"], dt
+                        )
+                if i == 0:
+                    d_h = None
+                else:
+                    acc(f"{tag}_trunk_{i}_wh", _dot_t(h_in, d_pre, dt))
+                    d_h = _dot_nt(d_pre, w[f"{tag}_trunk_{i}_wh"], dt)
             else:
                 acc(f"{tag}_trunk_{i}_w", _dot_t(h_in, d_pre, dt))
                 d_h = _dot_nt(d_pre, w[f"{tag}_trunk_{i}_w"], dt)
         return d_pieces
 
     # ---- scene branch ------------------------------------------------------
+    # xyz / xyz_sin cotangents have no trainable consumers → skipped
+    feat_need = [True, True, False, False] if use_voxel else [False, False]
     hs, hf, denc, rgb = branch_fwd("s", cfg.D, cfg.skips, feat_pieces)
     d_feat = branch_bwd(
         "s", cfg.D, cfg.skips, feat_pieces, hs, hf, denc, rgb,
-        g[:, 0:1], g[:, 1:4],
+        g[:, 0:1], g[:, 1:4], need_piece_grad=feat_need,
     )
 
     d_codes_rows = None
@@ -214,16 +224,18 @@ def _bwd_kernel(
     if forward_instance:
         codes = _broadcast_rows(code_ref[:], n_samples)
         extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
+        extra_need = [True, True, True] if use_voxel else [True]
         pieces_o = feat_pieces + extra
         hso, hfo, denco, rgbo = branch_fwd("o", cfg.inst_D, cfg.inst_skips,
                                            pieces_o)
         d_pieces_o = branch_bwd(
             "o", cfg.inst_D, cfg.inst_skips, pieces_o, hso, hfo, denco, rgbo,
-            g[:, 4:5], g[:, 5:8],
+            g[:, 4:5], g[:, 5:8], need_piece_grad=feat_need + extra_need,
         )
         nf = len(feat_pieces)
         for j in range(nf):
-            d_feat[j] += d_pieces_o[j]
+            if feat_need[j]:
+                d_feat[j] += d_pieces_o[j]
         if use_voxel:
             d_ivox, d_ivox_sin, d_codes_rows = d_pieces_o[nf:]
         else:
@@ -330,7 +342,8 @@ def make_fused_mlp_op(
 
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
         n_rays, s, _ = xyz.shape
-        r = max(min_rays_per_tile, bwd_rows_budget // s)
+        budget = bwd_rows_budget // 2 if use_voxel else bwd_rows_budget
+        r = max(min_rays_per_tile, budget // s)
         r = min(r, n_rays)
         while n_rays % r:
             r -= 1
