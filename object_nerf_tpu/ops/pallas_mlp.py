@@ -375,6 +375,9 @@ def fused_mlp_eval(
         out_specs=pl.BlockSpec((rows, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rays * s, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024  # v5e has 128 MiB VMEM
+        ),
         interpret=interpret,
     )(*inputs)
 
@@ -560,6 +563,9 @@ def fused_render_tiles(
         in_specs=in_specs,
         out_specs=out_specs if want_weights else out_specs[0],
         out_shape=out_shapes if want_weights else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*inputs)
 

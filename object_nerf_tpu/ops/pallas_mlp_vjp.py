@@ -76,8 +76,11 @@ def _bwd_kernel(
 ):
     """Backward over one ray tile.
 
-    Inputs: [xyz, dir_pe, codes, voxel_raw?, g_out(RS,8)] + weights.
-    Outputs: [d_<weight> ...] (accumulated), d_codes (R, Cc)
+    Inputs: [xyz, dir_pe_rep, codes_rep, voxel_raw?, g_out(RS,8)] + weights —
+    per-ray quantities arrive pre-repeated per sample so every block is
+    (rows, C) with rows a multiple of the sample count (no per-ray sublane
+    alignment floor; smaller tiles fit VMEM on the voxel path).
+    Outputs: [d_<weight> ...] (accumulated), d_codes (RS, Cc)
              [, d_voxel_raw (RS, C_vox)].
     """
     n_data = (5 if use_voxel else 4)
@@ -112,7 +115,7 @@ def _bwd_kernel(
     else:
         feat_pieces = [xyz, xyz_sin]
 
-    dir_pe = _broadcast_rows(dir_ref[:], n_samples)
+    dir_pe = dir_ref[:]  # (RS, C_dir), pre-repeated
 
     g = g_ref[:]  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
 
@@ -222,7 +225,7 @@ def _bwd_kernel(
     d_codes_rows = None
     d_ivox = d_ivox_sin = None
     if forward_instance:
-        codes = _broadcast_rows(code_ref[:], n_samples)
+        codes = code_ref[:]  # (RS, Cc), pre-repeated
         extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
         extra_need = [True, True, True] if use_voxel else [True]
         pieces_o = feat_pieces + extra
@@ -241,11 +244,10 @@ def _bwd_kernel(
         else:
             (d_codes_rows,) = d_pieces_o[nf:]
 
-    # per-ray code grads: sum over the S samples of each ray
+    # per-sample code grads (reduced to per-ray outside the kernel)
     r, s = n_rays_tile, n_samples
     if d_codes_rows is not None:
-        cc = d_codes_rows.shape[-1]
-        d_code_ref[:] = jnp.sum(d_codes_rows.reshape(r, s, cc), axis=1)
+        d_code_ref[:] = d_codes_rows
     else:
         d_code_ref[:] = jnp.zeros_like(d_code_ref)
 
@@ -343,12 +345,10 @@ def make_fused_mlp_op(
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
         n_rays, s, _ = xyz.shape
         budget = bwd_rows_budget // 2 if use_voxel else bwd_rows_budget
-        r = max(min_rays_per_tile, budget // s)
+        r = max(1, budget // s)
         r = min(r, n_rays)
         while n_rays % r:
             r -= 1
-        if r % min_rays_per_tile and n_rays % min_rays_per_tile == 0:
-            r = min_rays_per_tile  # keep (R, C) blocks sublane-aligned
         rows = r * s
         grid = (n_rays // r,)
 
@@ -356,12 +356,14 @@ def make_fused_mlp_op(
             mlp_params, cfg, forward_instance
         )
 
-        inputs = [xyz.reshape(n_rays * s, 3), dir_pe, codes]
+        dir_rep = jnp.repeat(dir_pe, s, axis=0)
+        codes_rep = jnp.repeat(codes, s, axis=0)
+        inputs = [xyz.reshape(n_rays * s, 3), dir_rep, codes_rep]
         in_specs = [
             pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, dir_pe.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((rows, dir_pe.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, codes.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((rows, codes.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
         if use_voxel:
@@ -390,10 +392,10 @@ def make_fused_mlp_op(
             for a in weight_arrays
         ]
         out_shapes.append(
-            jax.ShapeDtypeStruct((n_rays, codes.shape[-1]), jnp.float32)
+            jax.ShapeDtypeStruct((n_rays * s, codes.shape[-1]), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec((r, codes.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((rows, codes.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
         if use_voxel:
@@ -418,6 +420,9 @@ def make_fused_mlp_op(
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
             interpret=interpret,
         )(*inputs)
 
@@ -427,7 +432,8 @@ def make_fused_mlp_op(
             d_params["object"] = jax.tree_util.tree_map(
                 jnp.zeros_like, mlp_params["object"]
             )
-        d_codes = outs[n_w]
+        # reduce per-sample code grads to per-ray
+        d_codes = jnp.sum(outs[n_w].reshape(n_rays, s, -1), axis=1)
         d_vox = outs[n_w + 1].reshape(voxel_raw.shape) if use_voxel else None
         return d_params, d_codes, d_vox
 
