@@ -69,9 +69,15 @@ def main(argv):
             for k, v in metrics.items():
                 writer.add_scalar(k, float(v), step)
         vp = metrics.get("val/psnr", -np.inf)
-        save_checkpoint(
-            log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static, step=step
-        )
+        # checkpoint on improvement and at epoch end (the reference keeps
+        # every epoch + best via ModelCheckpoint, train.py:241-251)
+        if vp > best_psnr or it >= sys_.steps_per_epoch - 1 - (
+            sys_.steps_per_epoch % max(1, int(sys_.steps_per_epoch * 0.25))
+        ):
+            save_checkpoint(
+                log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
+                step=step,
+            )
         if vp > best_psnr:
             best_psnr = vp
         print(
