@@ -322,7 +322,6 @@ def make_fused_mlp_op(
     forward_instance: bool,
     rows_budget: int = 2048,
     bwd_rows_budget: int = 4096,
-    min_rays_per_tile: int = 8,  # Mosaic sublane divisibility for (R, C) blocks
     dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
