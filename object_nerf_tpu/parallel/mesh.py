@@ -18,6 +18,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: join the jax.distributed cluster so
+    `jax.devices()` spans every host's chips and the `data` mesh axis rides
+    ICI within a slice and DCN across slices. On single-host TPU VMs (or
+    when the env provides coordination, e.g. GKE) argument-free init works.
+
+    Returns the global device count. Safe to call when already initialized.
+    """
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        else:
+            jax.distributed.initialize()
+    except RuntimeError as e:  # already initialized / single-process run
+        if "already" not in str(e).lower():
+            raise
+    return len(jax.devices())
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Mesh:
     """A 1-D data mesh over all (or the given) devices."""
     if devices is None:

@@ -27,12 +27,9 @@ if not os.path.isdir(REF):
 def reference_modules():
     # the reference's utils.util imports open3d/pandas at module scope;
     # stub them (we only need nerf_model + rendering math)
-    for name in ("open3d", "pandas", "torch_optimizer", "kornia"):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-            except ImportError:
-                sys.modules[name] = types.ModuleType(name)
+    from _reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
     sys.path.insert(0, REF)
     try:
         from models.nerf_model import ObjectNeRF  # reference

@@ -22,27 +22,9 @@ if not os.path.isdir(REF):
 
 @pytest.fixture(scope="module")
 def ref_modules():
-    for name in ("open3d", "pandas", "torch_optimizer", "ipdb"):
-        if name not in sys.modules:
-            try:
-                __import__(name)
-            except ImportError:
-                sys.modules[name] = types.ModuleType(name)
-    # richer stubs for modules imported with attribute access at import time
-    if "numba" not in sys.modules:
-        nb = types.ModuleType("numba")
-        nb.jit = lambda *a, **k: (lambda f: f)
-        sys.modules["numba"] = nb
-    if "kornia" not in sys.modules:
-        kn = types.ModuleType("kornia")
-        kn.create_meshgrid = lambda *a, **k: None
-        kn.losses = types.SimpleNamespace(ssim=None)
-        sys.modules["kornia"] = kn
-        sys.modules["kornia.losses"] = kn.losses  # type: ignore
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.SimpleNamespace(ToTensor=object)
-        sys.modules["torchvision"] = tv
+    from _reference_stubs import install_reference_stubs
+
+    install_reference_stubs()
     sys.path.insert(0, REF)
     try:
         from models.nerf_model import ObjectNeRF

@@ -26,6 +26,11 @@ def main(argv):
     )
 
     config = load_config(cli_args=argv)
+    if config.get("tpu", {}).get("distributed", False):
+        from object_nerf_tpu.parallel.mesh import initialize_distributed
+
+        n = initialize_distributed(config.tpu.get("coordinator"))
+        print(f"distributed: {n} global devices")
     if "root_dir" not in config.dataset_extra and config.dataset_name != "synthetic":
         raise SystemExit(
             "error: no scene selected — pass dataset_config=config/<scene>.yml "
