@@ -80,7 +80,8 @@ class EditableRenderer:
             self.ckpt_config.model.get("use_voxel_embedding", True)
         )
         self.settings = RenderSettings.from_config(
-            self.ckpt_config, is_eval=True, use_pallas=False,
+            self.ckpt_config, is_eval=True,
+            use_pallas=jax.default_backend() == "tpu",
         )
 
         if params is None:

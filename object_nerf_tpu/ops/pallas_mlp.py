@@ -119,9 +119,12 @@ def _eval_branches(
     use_voxel: bool,
     forward_instance: bool,
     dt,
+    compute_scene: bool = True,
 ):
     """Shared branch evaluation: returns (sigma, rgb, i_sigma, i_rgb) as
-    (RS, 1)/(RS, 3) arrays (instance outputs None when disabled)."""
+    (RS, 1)/(RS, 3) arrays (instance outputs None when disabled; scene
+    outputs None when compute_scene=False — the editable renderer evaluates
+    objects through the instance branch alone, multi_rendering.py:63-68)."""
     xyz_ref, dir_ref, code_ref = data_refs[:3]
 
     xyz = xyz_ref[:]  # (RS, 3)
@@ -177,8 +180,9 @@ def _eval_branches(
         rgb = jax.nn.sigmoid(_dot(d_enc, w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"])
         return sigma, rgb
 
-    sigma, rgb = run_branch("s", cfg.D, cfg.skips, [])
-    i_sigma = i_rgb = None
+    sigma = rgb = i_sigma = i_rgb = None
+    if compute_scene:
+        sigma, rgb = run_branch("s", cfg.D, cfg.skips, [])
     if forward_instance:
         codes = _broadcast_rows(code_ref[:], n_samples)
         extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
@@ -193,6 +197,7 @@ def _mlp_kernel(
     names: Tuple[str, ...],
     use_voxel: bool,
     forward_instance: bool,
+    compute_scene: bool,
     dtype,
 ):
     n_data = 4 if use_voxel else 3
@@ -201,14 +206,17 @@ def _mlp_kernel(
     out_ref = refs[-1]
 
     sigma, rgb, i_sigma, i_rgb = _eval_branches(
-        data_refs, w, cfg, n_samples, use_voxel, forward_instance, dtype
+        data_refs, w, cfg, n_samples, use_voxel, forward_instance, dtype,
+        compute_scene=compute_scene,
     )
-    if forward_instance:
-        out_ref[:] = jnp.concatenate([sigma, rgb, i_sigma, i_rgb], axis=-1)
-    else:
-        out_ref[:] = jnp.concatenate(
-            [sigma, rgb, jnp.zeros_like(sigma), jnp.zeros_like(rgb)], axis=-1
-        )
+    rows = out_ref.shape[0]
+    if sigma is None:
+        sigma = jnp.zeros((rows, 1), jnp.float32)
+        rgb = jnp.zeros((rows, 3), jnp.float32)
+    if i_sigma is None:
+        i_sigma = jnp.zeros((rows, 1), jnp.float32)
+        i_rgb = jnp.zeros((rows, 3), jnp.float32)
+    out_ref[:] = jnp.concatenate([sigma, rgb, i_sigma, i_rgb], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -306,6 +314,7 @@ def fused_mlp_eval(
     obj_codes: Optional[jnp.ndarray] = None,  # (n_rays, C_code)
     voxel_raw: Optional[jnp.ndarray] = None,  # (n_rays, S, C_vox)
     forward_instance: bool = True,
+    compute_scene: bool = True,
     rays_per_tile: Optional[int] = None,
     dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -366,6 +375,7 @@ def fused_mlp_eval(
         names=names,
         use_voxel=use_voxel,
         forward_instance=forward_instance,
+        compute_scene=compute_scene,
         dtype=dtype,
     )
     out = pl.pallas_call(

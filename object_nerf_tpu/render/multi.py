@@ -71,23 +71,47 @@ def _eval_object(
     """(rgbs (N,S,3), sigmas (N,S)) for one object's ray set."""
     n, s, _ = xyz.shape
     flat = xyz.reshape(-1, 3)
-    emb_xyz, obj_voxel = _embed_points(flat, settings, voxel_ctx)
-    dir_flat = jnp.repeat(dir_embedded, s, axis=0)
     mlp = params[typ]
 
-    if instance_id > 0:
-        codes = lookup_codes(
-            params["code_library"],
-            jnp.full((flat.shape[0],), instance_id, jnp.int32),
-        )
-        sigma, rgb = instance_forward(
-            mlp, settings.mlp, emb_xyz, codes, obj_voxel, dir_flat
-        )
-    else:
-        sigma, rgb = scene_forward(mlp, settings.mlp, emb_xyz, dir_flat)
+    if settings.use_pallas:
+        # fused kernel: scene-only for the background set, instance-only for
+        # object sets (multi_rendering.py:63-72 branch selection)
+        from ..ops.pallas_mlp import fused_mlp_eval
+        from ..models.voxel_grid import voxel_lookup_raw
 
-    sigma = sigma.reshape(n, s)
-    rgb = rgb.reshape(n, s, 3)
+        voxel_raw = None
+        if voxel_ctx is not None:
+            features, topo, static = voxel_ctx
+            raw, _ = voxel_lookup_raw(features, topo, static, flat)
+            voxel_raw = raw.reshape(n, s, -1)
+        codes = None
+        if instance_id > 0:
+            codes = lookup_codes(
+                params["code_library"],
+                jnp.full((n,), instance_id, jnp.int32),
+            )
+        sigma_s, rgb_s, sigma_i, rgb_i = fused_mlp_eval(
+            mlp, settings.mlp, xyz, dir_embedded,
+            obj_codes=codes, voxel_raw=voxel_raw,
+            forward_instance=instance_id > 0,
+            compute_scene=instance_id == 0,
+        )
+        sigma, rgb = (sigma_i, rgb_i) if instance_id > 0 else (sigma_s, rgb_s)
+    else:
+        emb_xyz, obj_voxel = _embed_points(flat, settings, voxel_ctx)
+        dir_flat = jnp.repeat(dir_embedded, s, axis=0)
+        if instance_id > 0:
+            codes = lookup_codes(
+                params["code_library"],
+                jnp.full((flat.shape[0],), instance_id, jnp.int32),
+            )
+            sigma, rgb = instance_forward(
+                mlp, settings.mlp, emb_xyz, codes, obj_voxel, dir_flat
+            )
+        else:
+            sigma, rgb = scene_forward(mlp, settings.mlp, emb_xyz, dir_flat)
+        sigma = sigma.reshape(n, s)
+        rgb = rgb.reshape(n, s, 3)
 
     # mute rays whose bbox intersection missed (far == 0)
     muted = z_vals[:, -1] == 0

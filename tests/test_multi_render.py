@@ -122,6 +122,36 @@ def test_object_branch_used_for_nonzero_ids():
     assert d > 1e-4
 
 
+def test_pallas_path_matches_xla():
+    """The fused multi-object path (interpret mode) equals the XLA path."""
+    import dataclasses
+    from unittest import mock
+    from object_nerf_tpu.ops import pallas_mlp
+
+    params = _params()
+    rays = _rays()
+    ref = render_rays_multi(
+        params, [rays, rays], (0, 5), jax.random.PRNGKey(0), SETTINGS
+    )
+    settings_p = dataclasses.replace(SETTINGS, use_pallas=True)
+    orig = pallas_mlp.fused_mlp_eval
+
+    def interp_eval(*a, **k):
+        k["interpret"] = True
+        k.setdefault("dtype", jnp.float32)
+        return orig(*a, **k)
+
+    with mock.patch.object(pallas_mlp, "fused_mlp_eval", interp_eval):
+        got = render_rays_multi(
+            params, [rays, rays], (0, 5), jax.random.PRNGKey(0), settings_p
+        )
+    for key in ("rgb_coarse", "rgb_fine", "opacity_fine", "depth_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=key,
+        )
+
+
 def test_jit_compiles():
     params = _params()
     rays = _rays()
