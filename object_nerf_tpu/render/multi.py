@@ -95,6 +95,7 @@ def _eval_object(
             obj_codes=codes, voxel_raw=voxel_raw,
             forward_instance=instance_id > 0,
             compute_scene=instance_id == 0,
+            dtype=jnp.dtype(settings.pallas_dtype).type,
         )
         sigma, rgb = (sigma_i, rgb_i) if instance_id > 0 else (sigma_s, rgb_s)
     else:

@@ -49,6 +49,7 @@ class RenderSettings:
     rays_in_bbox: bool = False
     use_pallas: bool = False  # fused VMEM-resident MLP eval (inference path)
     pallas_rays_per_tile: Optional[int] = None  # None = auto from VMEM budget
+    pallas_dtype: str = "bfloat16"  # matmul dtype in fused kernels (f32 accum)
     remat: bool = False  # rematerialize MLP evals in the backward pass
 
     @classmethod
@@ -115,7 +116,10 @@ def _eval_models(
         codes = embedding_instance
         if codes is None:
             codes = jnp.zeros((n_rays, settings.mlp.N_obj_code_length), xyz.dtype)
-        op = make_fused_mlp_op(settings.mlp, settings.forward_instance)
+        op = make_fused_mlp_op(
+            settings.mlp, settings.forward_instance,
+            dtype=jnp.dtype(settings.pallas_dtype).type,
+        )
         sigma, rgb, i_sigma, i_rgb = op(
             mlp_params, xyz, dir_embedded, codes, voxel_raw
         )
@@ -221,12 +225,13 @@ def render_rays_fused_eval(
         return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    kdtype = jnp.dtype(settings.pallas_dtype).type
     coarse = fused_render_tiles(
         params["coarse"], settings.mlp, xyz_c, z_vals, dir_pe,
         obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_c),
         forward_instance=settings.forward_instance,
         want_weights=settings.N_importance > 0,
-        white_back=settings.white_back, interpret=interpret,
+        white_back=settings.white_back, dtype=kdtype, interpret=interpret,
     )
     typ = "coarse"
     out = coarse
@@ -245,7 +250,7 @@ def render_rays_fused_eval(
             obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_f),
             forward_instance=settings.forward_instance,
             want_weights=False, white_back=settings.white_back,
-            interpret=interpret,
+            dtype=kdtype, interpret=interpret,
         )
         typ = "fine"
 

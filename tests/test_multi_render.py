@@ -138,7 +138,7 @@ def test_pallas_path_matches_xla():
 
     def interp_eval(*a, **k):
         k["interpret"] = True
-        k.setdefault("dtype", jnp.float32)
+        k["dtype"] = jnp.float32
         return orig(*a, **k)
 
     with mock.patch.object(pallas_mlp, "fused_mlp_eval", interp_eval):
