@@ -74,11 +74,12 @@ def main(argv):
             for k, v in metrics.items():
                 writer.add_scalar(k, float(v), step)
         vp = metrics.get("val/psnr", -np.inf)
-        # checkpoint on improvement and at epoch end (the reference keeps
-        # every epoch + best via ModelCheckpoint, train.py:241-251)
-        if vp > best_psnr or it >= sys_.steps_per_epoch - 1 - (
-            sys_.steps_per_epoch % max(1, int(sys_.steps_per_epoch * 0.25))
-        ):
+        # checkpoint on improvement and at the last validation of each epoch
+        # (the reference keeps every epoch + best, train.py:241-251)
+        val_every = float(sys_.config.train.get("val_check_interval", 0.25))
+        val_interval = max(1, int(sys_.steps_per_epoch * val_every))
+        last_val_it = (sys_.steps_per_epoch // val_interval) * val_interval - 1
+        if vp > best_psnr or it >= last_val_it:
             save_checkpoint(
                 log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
                 step=step,
