@@ -111,11 +111,20 @@ def build_voxel_grid(
     n_freq_voxel: int,
     n_max_voxels: int,
     key=None,
+    auto_capacity: bool = True,
 ):
     """Construct (features, topology, static) from a raw point cloud.
 
     pcd_xyz: (N, 3) world-space points (e.g. from read_ply).
-    Returns (features (n_max_voxels, channels) f32, VoxelTopology, VoxelStatic).
+    Returns (features (capacity, channels) f32, VoxelTopology, VoxelStatic).
+
+    auto_capacity: size the feature table to ~10× the occupied count
+    (rounded to a power of two, capped by n_max_voxels) instead of always
+    n_max_voxels. The reference always allocates the full 800k×24 table
+    (default_conf.yml:36); on TPU the table size directly scales the cost
+    of the row gathers and of the scatter-add in the feature-gradient
+    (measured 2.5× train-step speedup on a small scene). 10× slack covers
+    the one 8× subdivision of progressive training.
     """
     pts = (np.asarray(pcd_xyz, np.float64) - np.asarray(scene_center)) / scale_factor
     voxel_size = voxel_size_world / scale_factor
@@ -138,13 +147,19 @@ def build_voxel_grid(
     if n_occ > n_max_voxels:
         raise ValueError(f"{n_occ} occupied voxels exceed capacity {n_max_voxels}")
 
+    capacity = n_max_voxels
+    if auto_capacity:
+        capacity = min(
+            n_max_voxels, max(1024, 1 << int(np.ceil(np.log2(n_occ * 10))))
+        )
+
     idx_map = np.full(shape, -1, dtype=np.int32)
     idx_map[occ] = np.arange(n_occ, dtype=np.int32)
 
     if key is None:
         key = jax.random.PRNGKey(0)
     # torch.nn.Embedding default init: N(0, 1)
-    features = jax.random.normal(key, (n_max_voxels, channels), jnp.float32)
+    features = jax.random.normal(key, (capacity, channels), jnp.float32)
 
     topo = VoxelTopology(
         idx_map=jnp.asarray(idx_map.reshape(-1)),
@@ -157,7 +172,7 @@ def build_voxel_grid(
         shape=shape,
         channels=channels,
         n_freq_voxel=n_freq_voxel,
-        n_max_voxels=n_max_voxels,
+        n_max_voxels=capacity,
     )
     return features, topo, static
 
