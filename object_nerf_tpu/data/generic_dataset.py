@@ -405,6 +405,9 @@ class GenericDataset:
             "instance_mask_weight": self.instance_weights[idx][sel, k],
             "pass_through_mask": self.pass_through[idx][sel, k],
             "instance_ids": self.inst_ids[idx][sel, k],
+            # per-ray source frame (generic_dataset.py:487 'frame_idx' —
+            # reserved for appearance conditioning)
+            "frame_idx": self.frame_indices[idx],
         }
 
     def whole_image_batch(self, frame: int = 0):
