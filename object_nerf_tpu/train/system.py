@@ -202,9 +202,15 @@ class ObjectNeRFSystem:
         if use_pallas == "auto":
             # fused kernels on real TPUs; XLA path elsewhere (CPU tests)
             use_pallas = jax.default_backend() == "tpu"
+        def _in_bbox(ds):
+            # bbox-bounded training routes instance weights into fine
+            # sampling (reference train.py:156-160 → rendering.py:228-229)
+            return bool(getattr(ds, "is_rays_in_bbox", lambda: False)())
+
         self.settings = RenderSettings.from_config(
             config, white_back=getattr(dataset, "white_back", False),
             is_eval=False, use_pallas=bool(use_pallas),
+            rays_in_bbox=_in_bbox(dataset),
         )
         # the fused kernel is inference-only (no VJP yet) → eval path only
         self.eval_settings = RenderSettings.from_config(
@@ -212,6 +218,7 @@ class ObjectNeRFSystem:
             white_back=getattr(val_dataset or dataset, "white_back", False),
             is_eval=True,
             use_pallas=bool(use_pallas),
+            rays_in_bbox=_in_bbox(val_dataset or dataset),
         )
 
         # voxel grid
@@ -399,9 +406,21 @@ class ObjectNeRFSystem:
             )
             new_params = dict(params)
             new_params["voxel_features"] = feats
-            # reset only the voxel slice of optimizer state by re-initializing
-            opt_state = self.optimizer.init(new_params)
-            self.state = TrainState(new_params, opt_state, self.state.step)
+            # subdivision changes only the voxel feature table's shape:
+            # graft the live Adam moments for every other leaf into a fresh
+            # optax state so MLP/code-library training is undisturbed (the
+            # reference's in-place embedding swap keeps its optimizer state)
+            fresh = self.optimizer.init(new_params)
+            opt_state = jax.tree_util.tree_map(
+                lambda f, o: o
+                if getattr(f, "shape", None) == getattr(o, "shape", ())
+                else f,
+                fresh,
+                self.state.opt_state,
+            )
+            self.state = replicate(
+                TrainState(new_params, opt_state, self.state.step), self.mesh
+            )
             self.train_step = make_train_step(
                 self.settings, dict(self.config.loss), self.optimizer,
                 self.voxel_static, self.lr_schedule,

@@ -81,6 +81,34 @@ def test_coarse_only():
     assert "rgb_fine" not in out and "rgb_coarse" in out
 
 
+def test_rays_in_bbox_fine_sampling_follows_instance_weights():
+    """With rays_in_bbox on, pdf sampling uses the *instance* weights
+    (reference rendering.py:228-229): the emitted coarse weights and the
+    fine z placement must change when only that flag flips."""
+    params = _params()
+    n = 12
+    codes = lookup_codes(params["code_library"], jnp.zeros((n,), jnp.int32))
+    kw = dict(mlp=CFG, N_samples=16, N_importance=8, perturb=0.0,
+              noise_std=0.0, forward_instance=True, frustum_bound_th=0.01)
+    base = RenderSettings(**kw, rays_in_bbox=False)
+    bbox = RenderSettings(**kw, rays_in_bbox=True)
+    key = jax.random.PRNGKey(0)
+    ptm = jnp.zeros((n,), bool)
+    out0 = render_rays(params, _rays(n), key, base,
+                       embedding_instance=codes, pass_through_mask=ptm)
+    out1 = render_rays(params, _rays(n), key, bbox,
+                       embedding_instance=codes, pass_through_mask=ptm)
+    # scene image maps are unaffected; sampling PDFs are not
+    np.testing.assert_allclose(np.asarray(out0["rgb_coarse"]),
+                               np.asarray(out1["rgb_coarse"]), atol=1e-6)
+    w0 = np.asarray(out0["weights_coarse"])
+    w1 = np.asarray(out1["weights_coarse"])
+    assert np.abs(w0 - w1).max() > 1e-6  # instance weights took over
+    z0 = np.asarray(out0["z_vals_fine"])
+    z1 = np.asarray(out1["z_vals_fine"])
+    assert np.abs(z0 - z1).max() > 1e-6  # fine z follows the object PDF
+
+
 def test_jit_compiles_once_and_grads_flow():
     params = _params()
     settings = RenderSettings(mlp=CFG, N_samples=8, N_importance=4,

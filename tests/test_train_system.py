@@ -62,6 +62,33 @@ def test_validation_render_and_metrics():
     assert out["opacity_instance_fine"].shape == (32 * 24,)
 
 
+def test_rays_in_bbox_reaches_render_settings():
+    """The dataset's bbox predicate must flow into RenderSettings
+    (reference train.py:156-160)."""
+    cfg = _tiny_config()
+    ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+
+    class BBoxDataset:
+        def __init__(self, base):
+            self._base = base
+
+        def __getattr__(self, name):
+            return getattr(self._base, name)
+
+        def __len__(self):
+            return len(self._base)
+
+        def is_rays_in_bbox(self):
+            return True
+
+    system = ObjectNeRFSystem(cfg, dataset=BBoxDataset(ds), val_dataset=None)
+    assert system.settings.rays_in_bbox is True
+    assert system.eval_settings.rays_in_bbox is True
+    plain = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    assert plain.settings.rays_in_bbox is False
+
+
 def test_batch_is_sharded_over_mesh():
     cfg = _tiny_config()
     ds = SyntheticDataset("train", img_wh=(32, 24), n_frames=2,

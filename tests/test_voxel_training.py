@@ -98,3 +98,34 @@ def test_progressive_hooks_prune_and_subdivide(voxel_config):
     # training still works after topology change
     m = system.training_step(ds.sample_batch(256, rng))
     assert np.isfinite(float(m["train/loss"]))
+
+
+def test_subdivision_preserves_mlp_optimizer_moments(voxel_config):
+    """Subdividing the voxel table must not reset Adam moments for the
+    MLPs / code library — only the (reshaped) voxel_features slice."""
+    voxel_config.dataset_extra.voxel_size = 0.4
+    ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
+                          dataset_extra=voxel_config.dataset_extra)
+    system = ObjectNeRFSystem(voxel_config, dataset=ds, val_dataset=None)
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        system.training_step(ds.sample_batch(256, rng))
+
+    def non_voxel_leaves(opt_state):
+        flat, _ = jax.tree_util.tree_flatten_with_path(opt_state)
+        return {
+            jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat
+            if "voxel_features" not in jax.tree_util.keystr(path)
+        }
+
+    before = non_voxel_leaves(system.state.opt_state)
+    assert any(np.abs(v).max() > 0 for v in before.values())  # moments live
+    system.on_epoch_start(epoch=5)  # subdivide
+    after = non_voxel_leaves(system.state.opt_state)
+    assert before.keys() == after.keys()
+    for k in before:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=k)
+    # and training continues fine
+    m = system.training_step(ds.sample_batch(256, rng))
+    assert np.isfinite(float(m["train/loss"]))
