@@ -1,9 +1,11 @@
 """Image quality metrics (masked PSNR, SSIM).
 
 Parity with utils/metrics.py:5-23 in the reference: PSNR is -10·log10 of the
-(optionally masked) MSE. SSIM follows the standard Gaussian-window formula
-(the reference routes through kornia's `ssim` with window 3); implemented
-here directly in JAX with a uniform window of the same size.
+(optionally masked) MSE. SSIM replicates the reference's exact pipeline —
+kornia==0.4.1 `kornia.losses.ssim(img1, img2, 3, "mean")` (3×3 gaussian
+window, sigma 1.5, zero-padded same conv, per-channel, DSSIM clamp) followed
+by the reference's `1 - 2·dssim` un-mapping — so val/ssim numbers are
+directly comparable to reference-side logs.
 """
 
 from __future__ import annotations
@@ -24,15 +26,35 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray, valid_mask=None) -> jnp.ndarray:
     return -10.0 * jnp.log10(mse(pred, gt, valid_mask))
 
 
-def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3) -> jnp.ndarray:
-    """SSIM over (H, W, 3) images in [0,1]; returns the mean index in [-1,1]."""
-    c1, c2 = 0.01**2, 0.03**2
+def _gaussian_kernel2d(window: int, sigma: float = 1.5) -> jnp.ndarray:
+    """kornia 0.4.1 get_gaussian_kernel2d: normalized separable gaussian."""
+    x = jnp.arange(window, dtype=jnp.float32) - window // 2
+    if window % 2 == 0:
+        x = x + 0.5
+    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def ssim(
+    pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3, max_val: float = 1.0
+) -> jnp.ndarray:
+    """SSIM over (H, W, 3) images in [0,1]; returns the mean index in [-1,1].
+
+    Bit-faithful to the reference metric (utils/metrics.py:18-23): kornia
+    0.4.1 SSIM — gaussian window sigma 1.5, zero-padded same conv computed
+    per channel, C=(0.01·max)², (0.03·max)², `clamp((1-s)/2, 0, 1)` DSSIM —
+    then the reference's `1 - 2·dssim` back to an index.
+    """
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    pad = (window - 1) // 2
+    k = _gaussian_kernel2d(window).astype(pred.dtype)[..., None, None]
 
     def blur(x):
-        k = jnp.ones((window, window, 1, 1), x.dtype) / (window * window)
-        x4 = x.transpose(2, 0, 1)[..., None]  # (3, H, W, 1)
+        x4 = x.transpose(2, 0, 1)[..., None]  # (3, H, W, 1): channels as batch
         y = jax.lax.conv_general_dilated(
-            x4, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            x4, k, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y[..., 0].transpose(1, 2, 0)
 
@@ -43,4 +65,5 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3) -> jnp.ndarray:
     s = ((2 * mu_p * mu_g + c1) * (2 * cov + c2)) / (
         (mu_p**2 + mu_g**2 + c1) * (var_p + var_g + c2)
     )
-    return jnp.mean(s)
+    dssim = jnp.clip((1.0 - s) / 2.0, 0.0, 1.0)
+    return 1.0 - 2.0 * jnp.mean(dssim)

@@ -1,0 +1,84 @@
+"""Metric parity: PSNR formula and kornia-0.4.1-faithful SSIM.
+
+kornia itself is not installed in this environment, so the SSIM oracle is a
+line-by-line torch replica of kornia 0.4.1 `kornia.losses.SSIM` (gaussian
+window sigma 1.5, zero padding (k-1)//2, per-channel conv, DSSIM clamp) fed
+through the reference's wrapper math (utils/metrics.py:18-23).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from object_nerf_tpu.train.metrics import psnr, ssim
+
+
+def _kornia_041_gaussian_kernel2d(window: int, sigma: float = 1.5):
+    x = torch.arange(window).float() - window // 2
+    if window % 2 == 0:
+        x = x + 0.5
+    g = torch.exp(-(x**2) / (2.0 * sigma**2))
+    g = g / g.sum()
+    return torch.outer(g, g)
+
+
+def _reference_ssim(pred_hwc: np.ndarray, gt_hwc: np.ndarray, window: int = 3):
+    """reference utils/metrics.py ssim() on (1,3,H,W), kornia 0.4.1 inside."""
+    img1 = torch.from_numpy(pred_hwc).permute(2, 0, 1)[None].double()
+    img2 = torch.from_numpy(gt_hwc).permute(2, 0, 1)[None].double()
+    c = img1.shape[1]
+    kernel = _kornia_041_gaussian_kernel2d(window).double()
+    kernel = kernel[None, None].repeat(c, 1, 1, 1)
+    pad = (window - 1) // 2
+
+    def filt(x):
+        return F.conv2d(x, kernel, padding=pad, groups=c)
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu1, mu2 = filt(img1), filt(img2)
+    sigma1_sq = filt(img1 * img1) - mu1**2
+    sigma2_sq = filt(img2 * img2) - mu2**2
+    sigma12 = filt(img1 * img2) - mu1 * mu2
+    ssim_map = ((2 * mu1 * mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1**2 + mu2**2 + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    dssim = torch.clamp((1.0 - ssim_map) / 2.0, 0, 1).mean()  # reduction=mean
+    return float(1.0 - 2.0 * dssim)  # utils/metrics.py:23
+
+
+def test_psnr_matches_closed_form():
+    rng = np.random.RandomState(0)
+    pred = rng.rand(100, 3).astype(np.float32)
+    gt = rng.rand(100, 3).astype(np.float32)
+    expected = -10 * np.log10(np.mean((pred - gt) ** 2))
+    np.testing.assert_allclose(float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
+                               expected, rtol=1e-5)
+
+
+def test_psnr_masked():
+    rng = np.random.RandomState(1)
+    pred = rng.rand(50, 3).astype(np.float32)
+    gt = pred.copy()
+    gt[25:] += 10.0  # corrupt the masked-out half
+    mask = np.zeros((50,), bool)
+    mask[:25] = True
+    v = float(psnr(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)[:, None]))
+    assert v > 80  # masked region identical
+
+
+def test_ssim_identical_images_is_one():
+    rng = np.random.RandomState(2)
+    img = rng.rand(24, 32, 3).astype(np.float32)
+    assert abs(float(ssim(jnp.asarray(img), jnp.asarray(img))) - 1.0) < 1e-5
+
+
+def test_ssim_matches_kornia_041_oracle():
+    rng = np.random.RandomState(3)
+    for trial in range(3):
+        gt = rng.rand(24, 32, 3).astype(np.float32)
+        noise = rng.randn(24, 32, 3).astype(np.float32)
+        pred = np.clip(gt + [0.0, 0.08, 0.4][trial] * noise, 0, 1)
+        ours = float(ssim(jnp.asarray(pred), jnp.asarray(gt)))
+        ref = _reference_ssim(pred, gt)
+        np.testing.assert_allclose(ours, ref, atol=2e-5), trial
