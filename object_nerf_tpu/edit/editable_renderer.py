@@ -128,28 +128,8 @@ class EditableRenderer:
         """Rebuild VoxelTopology from converted reference buffers."""
         from ..models import voxel_grid as vg
 
-        shape = tuple(int(x) for x in np.asarray(vt["voxel_shape"]))
-        features = jnp.asarray(vt["features"])
-        topo = vg.VoxelTopology(
-            idx_map=jnp.asarray(
-                np.asarray(vt["voxel_idx_map"]).reshape(-1).astype(np.int32)
-            ),
-            occupancy=jnp.asarray(
-                np.asarray(vt["voxel_occupancy"]).reshape(-1).astype(bool)
-            ),
-            voxel_size=jnp.float32(float(np.asarray(vt["voxel_size"]))),
-            voxel_offset=jnp.asarray(
-                np.asarray(vt["voxel_offset"]), dtype=jnp.float32
-            ),
-            n_occupied=jnp.int32(
-                int((np.asarray(vt["voxel_idx_map"]) >= 0).sum())
-            ),
-        )
-        static = vg.VoxelStatic(
-            shape=shape,
-            channels=int(features.shape[-1]),
-            n_freq_voxel=int(self.ckpt_config.model.N_freq_voxel),
-            n_max_voxels=int(features.shape[0]),
+        features, topo, static = vg.from_torch_buffers(
+            vt, int(self.ckpt_config.model.N_freq_voxel)
         )
         params["voxel_features"] = features
         return (features, topo, static)

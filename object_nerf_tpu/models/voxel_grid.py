@@ -177,6 +177,36 @@ def build_voxel_grid(
     return features, topo, static
 
 
+def from_torch_buffers(vt, n_freq_voxel: int):
+    """(features, topo, static) from converted reference checkpoint buffers.
+
+    `vt` is the "voxel" dict produced by train.torch_convert from the
+    reference's registered buffers (embedding_helper.py:107-137,187-200):
+    features table + voxel_size/voxel_offset/voxel_shape/voxel_occupancy/
+    voxel_idx_map. Row indices in the table are preserved exactly, so a
+    reference voxel checkpoint renders bit-compatibly.
+    """
+    features = jnp.asarray(np.asarray(vt["features"], np.float32))
+    shape = tuple(int(x) for x in np.asarray(vt["voxel_shape"]))
+    idx_map = np.asarray(vt["voxel_idx_map"]).reshape(-1).astype(np.int32)
+    topo = VoxelTopology(
+        idx_map=jnp.asarray(idx_map),
+        occupancy=jnp.asarray(
+            np.asarray(vt["voxel_occupancy"]).reshape(-1).astype(bool)
+        ),
+        voxel_size=jnp.float32(float(np.asarray(vt["voxel_size"]))),
+        voxel_offset=jnp.asarray(np.asarray(vt["voxel_offset"]), dtype=jnp.float32),
+        n_occupied=jnp.int32(int((idx_map >= 0).sum())),
+    )
+    static = VoxelStatic(
+        shape=shape,
+        channels=int(features.shape[-1]),
+        n_freq_voxel=int(n_freq_voxel),
+        n_max_voxels=int(features.shape[0]),
+    )
+    return features, topo, static
+
+
 def build_voxel_grid_from_config(pcd_xyz, cfg, key=None):
     """Convenience wrapper reading the reference config schema."""
     return build_voxel_grid(

@@ -279,8 +279,12 @@ class ObjectNeRFSystem:
         merged = dict(state.params)
         merged.update(params)
         if restored.get("voxel_torch") is not None:
-            vt = restored["voxel_torch"]
-            merged["voxel_features"] = jnp.asarray(vt["features"])
+            # a reference voxel checkpoint carries its own topology buffers;
+            # adopt them wholesale (table rows are indexed by that idx map)
+            feats, self.voxel_topo, self.voxel_static = vg.from_torch_buffers(
+                restored["voxel_torch"], int(self.config.model.N_freq_voxel)
+            )
+            merged["voxel_features"] = feats
         step = jnp.int32(restored.get("step", 0))
         opt_state = restored.get("opt_state")
         if opt_state is None:
