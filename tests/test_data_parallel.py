@@ -56,3 +56,65 @@ def test_sharded_step_matches_single_device():
     p8 = jax.tree_util.tree_leaves(jax.device_get(sys8.state.params))
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_step_matches_single_device_voxel_path(tmp_path):
+    """Voxel-path DDP equivalence: the replicated voxel_topo buffers and the
+    feature-table gradient (custom segment-sum VJP → psum over the data
+    axis) must leave 1-device and 8-device training in the same state."""
+    from object_nerf_tpu.data.ply_io import write_ply
+
+    rng = np.random.RandomState(0)
+    pcd = (rng.rand(500, 3) * 2.4 - 1.2).astype(np.float32)
+    pcd_path = tmp_path / "scene.ply"
+    write_ply(pcd_path, pcd)
+
+    cfg = load_config()
+    cfg.model.merge(
+        dict(use_voxel_embedding=True, D=2, W=32, skips=[1], inst_D=2,
+             inst_W=16, inst_skips=[1], N_samples=8, N_importance=4,
+             N_max_objs=8, N_obj_code_length=8, perturb=0, noise_std=0,
+             N_scn_voxel_size=16, N_obj_voxel_size=8, N_freq_voxel=2,
+             N_max_voxels=20000)
+    )
+    cfg.train.merge(dict(batch_size=128))
+    cfg.dataset_extra.merge(
+        dict(scale_factor=1.0, near=0.5, far=5.0,
+             scene_center=[0.0, 0.0, 0.0], pcd_path=str(pcd_path),
+             voxel_size=0.3, neighbor_marks=3)
+    )
+    ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+    batch = ds.sample_batch(128, np.random.RandomState(1))
+
+    sys1 = _system(cfg, ds, jax.devices()[:1])
+    sys8 = _system(cfg, ds, jax.devices()[:8])
+    np.testing.assert_array_equal(
+        np.asarray(sys1.state.params["voxel_features"]),
+        np.asarray(sys8.state.params["voxel_features"]),
+    )
+    # topology replicated on every device of the 8-mesh
+    occ_shards = sys8.voxel_topo.idx_map.addressable_shards
+    assert len({s.data.shape for s in occ_shards}) == 1
+    assert next(iter({s.data.shape for s in occ_shards})) == \
+        sys8.voxel_topo.idx_map.shape
+
+    f_init = np.asarray(sys1.state.params["voxel_features"]).copy()
+    sys8.key = sys1.key
+    for _ in range(3):
+        k = sys1.key
+        m1 = sys1.training_step(batch)
+        sys8.key = k
+        m8 = sys8.training_step(batch)
+
+    np.testing.assert_allclose(
+        float(m1["train/loss"]), float(m8["train/loss"]), rtol=1e-5
+    )
+    f1 = np.asarray(sys1.state.params["voxel_features"])
+    f8 = np.asarray(sys8.state.params["voxel_features"])
+    assert np.abs(f1 - f_init).max() > 0  # table actually received gradient
+    np.testing.assert_allclose(f1, f8, rtol=2e-4, atol=2e-6)
+    p1 = jax.tree_util.tree_leaves(jax.device_get(sys1.state.params))
+    p8 = jax.tree_util.tree_leaves(jax.device_get(sys8.state.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
