@@ -108,6 +108,53 @@ def test_render_edit_duplication_and_rotation(desk_setup):
     assert r.active_object_ids == [0, 1, 1]
 
 
+def test_pure_rotation_moves_object_keeps_background(desk_setup):
+    """The demo's pure_rotation edit (demo_editable_render.py helpers):
+    rotated-object pixels change, rays that never touch a bbox are
+    bit-identical (reference test/demo_editable_render.py:64-90)."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from demo_editable_render import get_pure_rotation
+
+    cfg, params = desk_setup
+    r = EditableRenderer(cfg, params=params)
+    Twc = np.eye(4)
+    Twc[:3, 3] = [0.3, -2.0, 0.25]
+    # camera -z (view direction, NeRF convention) points along world +y
+    Twc[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], float)
+    h, w = 12, 16
+
+    def render(deg):
+        r.set_object_pose_transform(1, get_pure_rotation(deg / 180.0), 0)
+        out = r.render_edit(h=h, w=w, camera_pose_Twc=Twc, fovx_deg=70,
+                            chunk=64)
+        r.reset_active_object_ids()
+        return np.asarray(out["rgb_fine"]).reshape(h, w, 3)
+
+    a, b = render(0.0), render(120.0)
+    diff = np.abs(a - b).mean(-1)
+
+    # rotation-invariant object region: the bbox's bounding sphere. Rays
+    # whose line stays outside it can never touch the object at ANY angle.
+    from object_nerf_tpu.data.ray_utils import get_ray_directions, get_rays
+    focal = 0.5 * w / np.tan(0.5 * np.deg2rad(70))
+    dirs = get_ray_directions(h, w, focal)
+    rays_o = np.asarray(get_rays(dirs, Twc[:3])[0]).reshape(-1, 3)
+    rays_d = np.asarray(get_rays(dirs, Twc[:3])[1]).reshape(-1, 3)
+    center = np.array([0.3, 0.0, 0.25])
+    radius = np.linalg.norm([0.5, 0.5, 0.5]) / 2  # bbox bounding sphere
+    to_c = center - rays_o
+    t = np.sum(to_c * rays_d, -1) / np.sum(rays_d * rays_d, -1)
+    dist = np.linalg.norm(to_c - t[:, None] * rays_d, axis=-1)
+    inside = (dist < radius).reshape(h, w)
+    outside = (dist > radius * 1.05).reshape(h, w)
+    assert inside.any() and outside.any()
+    assert diff[inside].max() > 1e-4, "rotation changed nothing in the object"
+    np.testing.assert_array_equal(diff[outside], 0.0)
+
+
 def test_render_origin_and_removal(desk_setup):
     cfg, params = desk_setup
     r = EditableRenderer(cfg, params=params)
