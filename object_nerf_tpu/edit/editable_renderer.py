@@ -110,9 +110,9 @@ class EditableRenderer:
             topo_dict = restored.get("voxel_topo")
             static_dict = restored.get("voxel_static")
             if topo_dict is not None and static_dict is not None:
-                topo = vg.VoxelTopology(**{
-                    k: jnp.asarray(v) for k, v in topo_dict.items()
-                })
+                topo = vg.topology_from_dict(
+                    topo_dict, capacity=int(features.shape[0])
+                )
                 static = vg.VoxelStatic(
                     shape=tuple(int(x) for x in np.asarray(static_dict["shape"])),
                     channels=int(static_dict["channels"]),

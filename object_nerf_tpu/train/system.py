@@ -295,9 +295,9 @@ class ObjectNeRFSystem:
             leaves = jax.tree_util.tree_leaves(opt_state)
             opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
         if restored.get("voxel_topo") is not None and self.voxel_topo is not None:
-            td = restored["voxel_topo"]
-            self.voxel_topo = vg.VoxelTopology(
-                **{k: jnp.asarray(v) for k, v in td.items()}
+            self.voxel_topo = vg.topology_from_dict(
+                restored["voxel_topo"],
+                capacity=int(merged["voxel_features"].shape[0]),
             )
         print(f"resumed from {ckpt_path} at step {int(step)}")
         return TrainState(merged, opt_state, step)

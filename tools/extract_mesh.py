@@ -119,8 +119,8 @@ def main(argv):
         topo_dict = restored.get("voxel_topo")
         static_dict = restored.get("voxel_static")
         if topo_dict is not None and static_dict is not None:
-            topo = vg.VoxelTopology(
-                **{k: jnp.asarray(v) for k, v in topo_dict.items()}
+            topo = vg.topology_from_dict(
+                topo_dict, capacity=int(params["voxel_features"].shape[0])
             )
             static = vg.VoxelStatic(
                 shape=tuple(int(x) for x in np.asarray(static_dict["shape"])),
