@@ -32,13 +32,36 @@ CHUNK = 7680  # 640×480 = 40 chunks exactly
 ITERS = 5
 
 
-def _bench_train_step(cfg):
+def _bench_train_step(cfg, use_voxel=False):
+    """Train-step throughput at the flagship budget (batch 2048, 64+64).
+
+    use_voxel benches the sparse-voxel-conditioned path (the paper's
+    headline feature) on a deterministic synthetic scene point cloud at
+    the reference's ScanNet voxel size (0.1 m, default_conf.yml:17)."""
+    import tempfile
+
     from object_nerf_tpu.data.synthetic import SyntheticDataset
     from object_nerf_tpu.train.system import ObjectNeRFSystem
 
     cfg = cfg.copy()
-    cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0))
+    cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0,
+                                 scene_center=[0.0, 0.0, 0.0]))
     cfg.train.batch_size = 2048
+    cfg.model.use_voxel_embedding = use_voxel
+    tmp = None
+    if use_voxel:
+        from object_nerf_tpu.data.ply_io import write_ply
+
+        rng = np.random.RandomState(0)
+        pts = [rng.rand(8000, 3) * [2.4, 2.4, 0.0] - [1.2, 1.2, 0.0]]
+        for c, r in ([[0.3, 0.0, 0.25], 0.25], [[-0.35, 0.2, 0.2], 0.2]):
+            d = rng.randn(6000, 3)
+            d /= np.linalg.norm(d, axis=-1, keepdims=True)
+            pts.append(np.asarray(c) + r * d)
+        tmp = tempfile.NamedTemporaryFile(suffix=".ply", delete=False)
+        write_ply(tmp.name, np.concatenate(pts).astype(np.float32))
+        cfg.dataset_extra.merge(dict(pcd_path=tmp.name, voxel_size=0.1,
+                                     neighbor_marks=3))
     ds = SyntheticDataset("train", img_wh=(64, 48), n_frames=2,
                           dataset_extra=cfg.dataset_extra)
     system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
@@ -101,13 +124,22 @@ def main():
         file=sys.stderr,
     )
 
-    # secondary: training throughput (stderr only; primary metric is render)
+    # secondary metrics: training throughput, classical + voxel-conditioned
+    extras = {}
     try:
         train_rps = _bench_train_step(cfg)
+        extras["train_rays_per_sec"] = round(train_rps, 1)
         print(f"[bench] train step (b2048, 64+64): {train_rps:,.0f} rays/s",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
+    try:
+        voxel_rps = _bench_train_step(cfg, use_voxel=True)
+        extras["voxel_train_rays_per_sec"] = round(voxel_rps, 1)
+        print(f"[bench] voxel train step (b2048, 64+64): {voxel_rps:,.0f} "
+              f"rays/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] voxel train-step bench skipped: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -115,6 +147,7 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/sec/chip",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+                **extras,
             }
         )
     )

@@ -86,7 +86,9 @@ def _split_rows(w: jnp.ndarray, sizes: Sequence[int]) -> List[jnp.ndarray]:
 
 
 def _lrelu(x):
-    return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+    # max(x, slope·x) ≡ LeakyReLU for 0<slope<1 — one mul+max on the VPU
+    # instead of mul+compare+select (the kernel is VPU-bound between matmuls)
+    return jnp.maximum(x, LEAKY_SLOPE * x)
 
 
 def _dot(a, w, dt):
@@ -120,73 +122,117 @@ def _eval_branches(
     forward_instance: bool,
     dt,
     compute_scene: bool = True,
+    sigma_only: bool = False,
 ):
     """Shared branch evaluation: returns (sigma, rgb, i_sigma, i_rgb) as
     (RS, 1)/(RS, 3) arrays (instance outputs None when disabled; scene
     outputs None when compute_scene=False — the editable renderer evaluates
-    objects through the instance branch alone, multi_rendering.py:63-68)."""
-    xyz_ref, dir_ref, code_ref = data_refs[:3]
+    objects through the instance branch alone, multi_rendering.py:63-68).
+    sigma_only skips the rgb heads entirely (no dir/code operands): the
+    coarse eval pass only needs scene density for the importance pdf."""
+    if sigma_only:
+        xyz_ref, dir_ref, code_ref = data_refs[0], None, None
+    else:
+        xyz_ref, dir_ref, code_ref = data_refs[:3]
 
     xyz = xyz_ref[:]  # (RS, 3)
-    xyz_sin = jnp.sin(_dot(xyz, w["pe_xyz_S"], jnp.float32) + w["pe_xyz_phase"])
+    rows = xyz.shape[0]
+    # Interleave two independent row-halves through every layer: the trunk is
+    # MXU-latency-bound on its serial layer chain (measured: deleting the
+    # whole bias+lrelu epilogue changes nothing, but two parallel half-chains
+    # run ~10% faster — Mosaic overlaps the halves' matmuls/epilogues).
+    n_half = 2 if (rows % 16 == 0 and rows >= 512) else 1
+    blk = rows // n_half
+
+    def halves(x):
+        return [x[k * blk : (k + 1) * blk] for k in range(n_half)]
+
+    def pe(x, sname, pname):
+        return jnp.sin(_dot(x, w[sname], jnp.float32) + w[pname])
+
+    xyz_h = halves(xyz)
+    xyz_sin_h = [pe(x, "pe_xyz_S", "pe_xyz_phase") for x in xyz_h]
 
     # scene-branch input pieces, ordered as the reference feature layout:
     # voxel path: [vox_id(16), vox_sin(192), x(3), x_sin(60)]
     # classical:  [x(3), x_sin(60)]
-    ivox = ivox_sin = None
+    ivox_h = ivox_sin_h = None
     if use_voxel:
-        raw = data_refs[3][:]  # (RS, C_vox)
-        svox = raw[:, : cfg.N_scn_voxel_size]
-        ivox = raw[:, cfg.N_scn_voxel_size :]
-        svox_sin = jnp.sin(
-            _dot(svox, w["pe_svox_S"], jnp.float32) + w["pe_svox_phase"]
-        )
-        ivox_sin = jnp.sin(
-            _dot(ivox, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
-        )
-        feat_pieces = [svox, svox_sin, xyz, xyz_sin]
+        raw = data_refs[1 if sigma_only else 3][:]  # (RS, C_vox)
+        svox_h = halves(raw[:, : cfg.N_scn_voxel_size])
+        svox_sin_h = [pe(x, "pe_svox_S", "pe_svox_phase") for x in svox_h]
+        if forward_instance:
+            ivox_h = halves(raw[:, cfg.N_scn_voxel_size :])
+            ivox_sin_h = [pe(x, "pe_ivox_S", "pe_ivox_phase") for x in ivox_h]
+        feat_h = [
+            [svox_h[k], svox_sin_h[k], xyz_h[k], xyz_sin_h[k]]
+            for k in range(n_half)
+        ]
     else:
-        feat_pieces = [xyz, xyz_sin]
+        feat_h = [[xyz_h[k], xyz_sin_h[k]] for k in range(n_half)]
 
-    dir_pe = _broadcast_rows(dir_ref[:], n_samples)  # (RS, C_dir)
+    dir_pe_h = None
+    if not sigma_only:
+        dir_pe_h = halves(_broadcast_rows(dir_ref[:], n_samples))  # (RS, C_dir)
 
-    def run_branch(tag, depth, skips, extra_pieces):
-        pieces = feat_pieces + extra_pieces
-        h = None
+    def run_branch(tag, depth, skips, extra_h):
+        pieces_h = [feat_h[k] + extra_h[k] for k in range(n_half)] \
+            if extra_h else feat_h
+        hs = [None] * n_half
         for i in range(depth):
             if i == 0:
-                acc = _msum(
-                    [(p, w[f"{tag}_trunk_{i}_w{j}"]) for j, p in enumerate(pieces)],
-                    dt,
-                )
+                accs = [
+                    _msum([(p, w[f"{tag}_trunk_{i}_w{j}"])
+                           for j, p in enumerate(pieces)], dt)
+                    for pieces in pieces_h
+                ]
             elif i in skips:
-                acc = _msum(
-                    [(p, w[f"{tag}_trunk_{i}_w{j}"]) for j, p in enumerate(pieces)]
-                    + [(h, w[f"{tag}_trunk_{i}_wh"])],
-                    dt,
-                )
+                accs = [
+                    _msum([(p, w[f"{tag}_trunk_{i}_w{j}"])
+                           for j, p in enumerate(pieces_h[k])]
+                          + [(hs[k], w[f"{tag}_trunk_{i}_wh"])], dt)
+                    for k in range(n_half)
+                ]
             else:
-                acc = _dot(h, w[f"{tag}_trunk_{i}_w"], dt)
+                accs = [_dot(hs[k], w[f"{tag}_trunk_{i}_w"], dt)
+                        for k in range(n_half)]
             # activations carried at matmul precision: they re-enter the MXU
             # as `dt` anyway, and this halves live VMEM in bf16 mode
-            h = _lrelu(acc + w[f"{tag}_trunk_{i}_b"]).astype(dt)
-        sigma = _dot(h, w[f"{tag}_sigma_w"], dt) + w[f"{tag}_sigma_b"]
-        hf = (_dot(h, w[f"{tag}_final_w"], dt) + w[f"{tag}_final_b"]).astype(dt)
-        d_enc = _lrelu(
-            _dot(hf, w[f"{tag}_dir_wh"], dt)
-            + _dot(dir_pe, w[f"{tag}_dir_wd"], dt)
-            + w[f"{tag}_dir_b"]
-        ).astype(dt)
-        rgb = jax.nn.sigmoid(_dot(d_enc, w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"])
-        return sigma, rgb
+            # (measured: a bf16 epilogue is NOT faster — VPU rate is
+            # dtype-independent here — so keep the f32 bias+lrelu)
+            hs = [_lrelu(a + w[f"{tag}_trunk_{i}_b"]).astype(dt) for a in accs]
+        sigma_h = [_dot(h, w[f"{tag}_sigma_w"], dt) + w[f"{tag}_sigma_b"]
+                   for h in hs]
+        if sigma_only:
+            return jnp.concatenate(sigma_h, axis=0), None
+        rgb_h = []
+        for k in range(n_half):
+            hf = (_dot(hs[k], w[f"{tag}_final_w"], dt)
+                  + w[f"{tag}_final_b"]).astype(dt)
+            d_enc = _lrelu(
+                _dot(hf, w[f"{tag}_dir_wh"], dt)
+                + _dot(dir_pe_h[k], w[f"{tag}_dir_wd"], dt)
+                + w[f"{tag}_dir_b"]
+            ).astype(dt)
+            rgb_h.append(
+                jax.nn.sigmoid(
+                    _dot(d_enc, w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"]
+                )
+            )
+        return (jnp.concatenate(sigma_h, axis=0),
+                jnp.concatenate(rgb_h, axis=0))
 
     sigma = rgb = i_sigma = i_rgb = None
     if compute_scene:
-        sigma, rgb = run_branch("s", cfg.D, cfg.skips, [])
+        sigma, rgb = run_branch("s", cfg.D, cfg.skips, None)
     if forward_instance:
-        codes = _broadcast_rows(code_ref[:], n_samples)
-        extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
-        i_sigma, i_rgb = run_branch("o", cfg.inst_D, cfg.inst_skips, extra)
+        codes_h = halves(_broadcast_rows(code_ref[:], n_samples))
+        extra_h = (
+            [[ivox_h[k], ivox_sin_h[k], codes_h[k]] for k in range(n_half)]
+            if use_voxel
+            else [[codes_h[k]] for k in range(n_half)]
+        )
+        i_sigma, i_rgb = run_branch("o", cfg.inst_D, cfg.inst_skips, extra_h)
     return sigma, rgb, i_sigma, i_rgb
 
 
@@ -247,8 +293,13 @@ def prepare_kernel_weights(
     mlp_params: Dict[str, Any],
     cfg: ObjectNeRFConfig,
     forward_instance: bool,
+    sigma_only: bool = False,
 ) -> Tuple[Tuple[str, ...], List[jnp.ndarray]]:
-    """Flatten + split one ObjectNeRF param pytree for the fused kernel."""
+    """Flatten + split one ObjectNeRF param pytree for the fused kernel.
+
+    sigma_only keeps just the scene trunk + sigma head (coarse-pass pdf
+    weights): the rgb/dir head weights and the instance branch never reach
+    the kernel."""
     names: List[str] = []
     arrays: List[jnp.ndarray] = []
 
@@ -263,9 +314,10 @@ def prepare_kernel_weights(
         S, phase = pe_sin_matrix(cfg.N_scn_voxel_size, cfg.N_freq_voxel)
         add("pe_svox_S", jnp.asarray(S))
         add("pe_svox_phase", jnp.asarray(phase))
-        S, phase = pe_sin_matrix(cfg.N_obj_voxel_size, cfg.N_freq_voxel)
-        add("pe_ivox_S", jnp.asarray(S))
-        add("pe_ivox_phase", jnp.asarray(phase))
+        if forward_instance:
+            S, phase = pe_sin_matrix(cfg.N_obj_voxel_size, cfg.N_freq_voxel)
+            add("pe_ivox_S", jnp.asarray(S))
+            add("pe_ivox_phase", jnp.asarray(phase))
 
     def add_branch(tag, branch, depth, width, skips):
         sizes = _piece_sizes(cfg, tag)
@@ -285,6 +337,8 @@ def prepare_kernel_weights(
             add(f"{tag}_trunk_{i}_b", bi)
         add(f"{tag}_sigma_w", branch["sigma"]["w"])
         add(f"{tag}_sigma_b", branch["sigma"]["b"].reshape(1, -1))
+        if sigma_only:
+            return
         add(f"{tag}_final_w", branch["final"]["w"])
         add(f"{tag}_final_b", branch["final"]["b"].reshape(1, -1))
         wh, wd = _split_rows(branch["dir"]["w"], [width, cfg.in_channels_dir])
@@ -594,3 +648,125 @@ def fused_render_tiles(
     if want_weights:
         result["weights"] = outs[1]
     return result
+
+
+# ---------------------------------------------------------------------------
+# Sigma-only coarse pass: scene density → compositing weights, nothing else
+# ---------------------------------------------------------------------------
+
+
+def _weights_kernel(
+    *refs,
+    cfg: ObjectNeRFConfig,
+    n_samples: int,
+    n_rays_tile: int,
+    names: Tuple[str, ...],
+    use_voxel: bool,
+    last_delta_inf: bool,
+    dtype,
+):
+    n_data = 3 if use_voxel else 2  # xyz(, voxel_raw), z_vals
+    data_refs = refs[:n_data]
+    z_ref = data_refs[-1]
+    w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
+    out_ref = refs[-1]
+
+    sigma, _, _, _ = _eval_branches(
+        data_refs[:-1], w, cfg, n_samples, use_voxel,
+        forward_instance=False, dt=dtype, sigma_only=True,
+    )
+
+    r, s = n_rays_tile, n_samples
+    z = z_ref[:]  # (R, S)
+    deltas = z[:, 1:] - z[:, :-1]
+    last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
+    dl = jnp.concatenate([deltas, last], axis=-1)
+    sig = sigma[:, 0].reshape(r, s)
+    alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
+    # Hillis-Steele inclusive cumprod along lanes (see _render_kernel)
+    x = 1.0 - alphas + 1e-10
+    k = 1
+    while k < s:
+        pad = jnp.ones((r, k), x.dtype)
+        x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
+        k *= 2
+    trans = jnp.concatenate([jnp.ones((r, 1), jnp.float32), x[:, :-1]], axis=-1)
+    out_ref[:] = alphas * trans
+
+
+def fused_coarse_weights(
+    mlp_params: Dict[str, Any],
+    cfg: ObjectNeRFConfig,
+    xyz: jnp.ndarray,  # (n_rays, S, 3)
+    z_vals: jnp.ndarray,  # (n_rays, S)
+    voxel_raw: Optional[jnp.ndarray] = None,
+    last_delta_inf: bool = True,
+    rows_budget: int = 2048,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Coarse-pass pdf weights only: scene trunk + sigma head + compositing
+    scan, fused in VMEM. The eval renderer discards every other coarse
+    output (render paths emit final-typ maps only), so the coarse pass
+    skips the rgb/dir heads and the whole instance branch — ~40% of the
+    coarse FLOPs and all of its head weight traffic. Bit-matches the
+    `weights` output of `fused_render_tiles` (same trunk math, same scan).
+
+    Returns (n_rays, S) float32 weights.
+    """
+    n_rays, s, _ = xyz.shape
+    use_voxel = cfg.use_voxel_embedding
+    if use_voxel and voxel_raw is None:
+        raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
+
+    r = max(1, rows_budget // s)
+    r = min(r, n_rays)
+    while n_rays % r:
+        r -= 1
+    rows = r * s
+    grid = (n_rays // r,)
+
+    names, weight_arrays = prepare_kernel_weights(
+        mlp_params, cfg, forward_instance=False, sigma_only=True
+    )
+
+    inputs = [xyz.reshape(n_rays * s, 3)]
+    in_specs = [
+        pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if use_voxel:
+        vox_flat = voxel_raw.reshape(n_rays * s, -1)
+        inputs.append(vox_flat)
+        in_specs.append(
+            pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    inputs.append(z_vals)
+    in_specs.append(
+        pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.extend(weight_arrays)
+    in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays)
+
+    kernel = functools.partial(
+        _weights_kernel,
+        cfg=cfg,
+        n_samples=s,
+        n_rays_tile=r,
+        names=names,
+        use_voxel=use_voxel,
+        last_delta_inf=last_delta_inf,
+        dtype=dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rays, s), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)

@@ -203,7 +203,7 @@ def render_rays_fused_eval(
     compositing in VMEM; see ops/pallas_mlp.fused_render_tiles). Emits only
     the final-typ image maps — the shape of results the eval renderer
     actually consumes. Requires perturb=0/noise_std=0 (eval settings)."""
-    from ..ops.pallas_mlp import fused_render_tiles
+    from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
     from ..models.voxel_grid import voxel_lookup_raw
 
     assert settings.perturb == 0 and settings.noise_std == 0, (
@@ -226,21 +226,33 @@ def render_rays_fused_eval(
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     kdtype = jnp.dtype(settings.pallas_dtype).type
-    coarse = fused_render_tiles(
-        params["coarse"], settings.mlp, xyz_c, z_vals, dir_pe,
-        obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_c),
-        forward_instance=settings.forward_instance,
-        want_weights=settings.N_importance > 0,
-        white_back=settings.white_back, dtype=kdtype, interpret=interpret,
-    )
-    typ = "coarse"
-    out = coarse
-    z_final = z_vals
+    if settings.N_importance > 0:
+        # only the pdf weights survive the coarse pass (final-typ maps only
+        # are emitted) — run the sigma-only kernel: scene trunk + density
+        # head, no rgb/dir heads, no instance branch
+        coarse_weights = fused_coarse_weights(
+            params["coarse"], settings.mlp, xyz_c, z_vals,
+            voxel_raw=lookup_vox(xyz_c), dtype=kdtype, interpret=interpret,
+        )
+        typ = "coarse"
+        out = None
+        z_final = z_vals
+    else:
+        coarse = fused_render_tiles(
+            params["coarse"], settings.mlp, xyz_c, z_vals, dir_pe,
+            obj_codes=embedding_instance, voxel_raw=lookup_vox(xyz_c),
+            forward_instance=settings.forward_instance,
+            want_weights=False,
+            white_back=settings.white_back, dtype=kdtype, interpret=interpret,
+        )
+        typ = "coarse"
+        out = coarse
+        z_final = z_vals
 
     if settings.N_importance > 0:
         z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
         z_fine = sample_pdf(
-            None, z_mid, coarse["weights"][:, 1:-1], settings.N_importance,
+            None, z_mid, coarse_weights[:, 1:-1], settings.N_importance,
             det=True,
         )
         z_final = merge_z_vals(z_vals, z_fine)
