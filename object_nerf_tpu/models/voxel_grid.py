@@ -179,8 +179,11 @@ def build_voxel_grid(
 
     capacity = n_max_voxels
     if auto_capacity:
+        # 9× slack: the one 8× subdivision of progressive training fits,
+        # with 12.5% headroom (table size scales the dense scatter and the
+        # checkpoint; occupancy growth beyond that raises n_max_voxels)
         capacity = min(
-            n_max_voxels, max(1024, 1 << int(np.ceil(np.log2(n_occ * 10))))
+            n_max_voxels, max(1024, 1 << int(np.ceil(np.log2(n_occ * 9))))
         )
 
     idx_map = np.full(shape, -1, dtype=np.int32)
@@ -300,6 +303,32 @@ def _take_rows_bwd(res, g):
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
+@jax.custom_vjp
+def _take_rows_bf16(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather through a bf16 copy of the table (halves gather traffic —
+    the corner-table rows are 768 B in f32 and the gather is the voxel
+    path's single largest cost). The backward is the same f32 segment-sum
+    as `_take_rows`: the cast's derivative is treated as identity, so the
+    TABLE gradient keeps full f32 accumulation precision; only the forward
+    activation value is rounded (it feeds bf16 MLP matmuls anyway)."""
+    return jnp.take(table.astype(jnp.bfloat16), idx, axis=0)
+
+
+def _take_rows_bf16_fwd(table, idx):
+    return _take_rows_bf16(table, idx), (idx, table.shape[0])
+
+
+def _take_rows_bf16_bwd(res, g):
+    idx, capacity = res
+    flat_idx = idx.reshape(-1)
+    flat_g = g.astype(jnp.float32).reshape(-1, g.shape[-1])
+    d_table = jax.ops.segment_sum(flat_g, flat_idx, num_segments=capacity)
+    return d_table, None
+
+
+_take_rows_bf16.defvjp(_take_rows_bf16_fwd, _take_rows_bf16_bwd)
+
+
 def _gather_rows(
     features: jnp.ndarray,
     topo: VoxelTopology,
@@ -370,6 +399,7 @@ def voxel_lookup_dense(
     topo: VoxelTopology,
     static: VoxelStatic,
     xyz: jnp.ndarray,  # (N, 3) normalized coords
+    lowp: bool = False,
 ):
     """Trilinear lookup via the corner table: ONE row gather per sample.
 
@@ -391,10 +421,13 @@ def voxel_lookup_dense(
     sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
     pb = jnp.clip(q0 + 1, 0, shape)  # padded-frame base cell
     flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
-    rows = _take_rows(ct, flat)  # (N, 8·C)
+    take = _take_rows_bf16 if lowp else _take_rows
+    rows = take(ct, flat)  # (N, 8·C)
     wts = _trilinear_weights(xyz_scaled - base)  # (N, 8)
     out = jnp.sum(
-        rows.reshape(-1, 8, static.channels) * wts[..., None], axis=1
+        rows.reshape(-1, 8, static.channels).astype(jnp.float32)
+        * wts[..., None],
+        axis=1,
     )
     out = jnp.where(sample_valid[:, None], out, 0.0)
     return out, ~sample_valid
@@ -411,6 +444,7 @@ def voxel_lookup_raw(
     static: VoxelStatic,
     xyz: jnp.ndarray,  # (N, 3) normalized coords
     trilinear: bool = True,
+    lowp: bool = False,
 ):
     """Raw (un-encoded) voxel features at xyz. Returns (ftr (N, C), invalid).
 
@@ -421,6 +455,10 @@ def voxel_lookup_raw(
     dense path — the render pipeline consumes only `ftr` (the reference
     zeroes invalid corners, embedding_helper.py:390-394, which both paths
     honor exactly).
+
+    lowp gathers the corner table in bf16 (the fused-kernel training path,
+    where the features feed bf16 matmuls anyway); the table gradient stays
+    f32 (see _take_rows_bf16).
     """
     xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
     if not trilinear:
@@ -428,7 +466,7 @@ def voxel_lookup_raw(
         return _gather_rows(features, topo, static, q)
 
     if _dense_path_ok(static):
-        return voxel_lookup_dense(features, topo, static, xyz)
+        return voxel_lookup_dense(features, topo, static, xyz, lowp=lowp)
 
     base = jnp.floor(xyz_scaled)
     q0 = base.astype(jnp.int32)

@@ -14,10 +14,15 @@ Performance-critical layout decisions (measured on v5e):
   lanes) and dominated the first kernel version (~18 ms of a 25 ms call).
   Instead `pe_sin = sin(x @ S + phase)` where S stacks 2^k-scaled identity
   blocks and `phase` is π/2 on the cos columns — an MXU op plus a full-lane
-  transcendental. The identity part of the PE never materializes: every
-  consumer weight is split host-side into (rows-for-x, rows-for-sin[, ...])
-  so each trunk/head input is a *sum of split matmuls*, bit-equivalent to
-  the concat form.
+  transcendental. The input pieces ([x, x_sin] / the voxel features and
+  their sins) are then concatenated ONCE per branch in bf16 — the
+  reference feature layout *is* that concatenation — and every consuming
+  trunk layer runs a single matmul against the unsplit weight (measured: a
+  sum of small-K piece matmuls is ~40% slower per consuming layer).
+* **Two interleaved row-halves.** The trunk's serial layer chain leaves the
+  MXU waiting on each 256×256 matmul's latency (ablation: deleting the
+  whole bias+lrelu epilogue changes nothing); evaluating two independent
+  half-tiles layer-by-layer overlaps their chains for ~10%.
 * tiles are R_RAYS whole rays × S samples; per-ray quantities (dir PE,
   object code, raw voxel features) stream as (R_RAYS, C) blocks and
   broadcast across samples in-kernel;
@@ -99,15 +104,6 @@ def _dot(a, w, dt):
     )
 
 
-def _msum(pieces, dt):
-    """Sum of split matmuls: Σ aᵢ @ wᵢ  (≡ concat(aᵢ) @ vstack(wᵢ))."""
-    acc = None
-    for a, w in pieces:
-        y = _dot(a, w, dt)
-        acc = y if acc is None else acc + y
-    return acc
-
-
 def _broadcast_rows(per_ray, s: int):
     r, c = per_ray.shape
     return jnp.broadcast_to(per_ray[:, None, :], (r, s, c)).reshape(r * s, c)
@@ -176,21 +172,26 @@ def _eval_branches(
         dir_pe_h = halves(_broadcast_rows(dir_ref[:], n_samples))  # (RS, C_dir)
 
     def run_branch(tag, depth, skips, extra_h):
-        pieces_h = [feat_h[k] + extra_h[k] for k in range(n_half)] \
-            if extra_h else feat_h
+        # concat the input pieces once (bf16): the reference feature layout
+        # IS this concatenation, so cat @ w_full ≡ the sum of piece matmuls
+        # — but one K=271 matmul beats 4 small-K matmuls by ~40% (measured)
+        cat_h = [
+            jnp.concatenate(
+                [p.astype(dt) for p in
+                 (feat_h[k] + extra_h[k] if extra_h else feat_h[k])],
+                axis=-1,
+            )
+            for k in range(n_half)
+        ]
         hs = [None] * n_half
         for i in range(depth):
             if i == 0:
-                accs = [
-                    _msum([(p, w[f"{tag}_trunk_{i}_w{j}"])
-                           for j, p in enumerate(pieces)], dt)
-                    for pieces in pieces_h
-                ]
+                accs = [_dot(cat_h[k], w[f"{tag}_trunk_{i}_w"], dt)
+                        for k in range(n_half)]
             elif i in skips:
                 accs = [
-                    _msum([(p, w[f"{tag}_trunk_{i}_w{j}"])
-                           for j, p in enumerate(pieces_h[k])]
-                          + [(hs[k], w[f"{tag}_trunk_{i}_wh"])], dt)
+                    _dot(cat_h[k], w[f"{tag}_trunk_{i}_w"], dt)
+                    + _dot(hs[k], w[f"{tag}_trunk_{i}_wh"], dt)
                     for k in range(n_half)
                 ]
             else:
@@ -324,14 +325,14 @@ def prepare_kernel_weights(
         c_in = sum(sizes)
         for i, layer in enumerate(branch["trunk"]):
             wi, bi = layer["w"], layer["b"].reshape(1, -1)
-            if i == 0:
-                for j, piece in enumerate(_split_rows(wi, sizes)):
-                    add(f"{tag}_trunk_{i}_w{j}", piece)
-            elif i in skips:
-                pieces = _split_rows(wi, sizes + [width])
-                for j, piece in enumerate(pieces[:-1]):
-                    add(f"{tag}_trunk_{i}_w{j}", piece)
-                add(f"{tag}_trunk_{i}_wh", pieces[-1])
+            if i in skips and i > 0:
+                # the feature block stays whole: the kernel concatenates its
+                # input pieces once and runs ONE matmul per consuming layer
+                # (measured: a sum of small-K piece matmuls is ~40% slower
+                # per layer than the single concat matmul)
+                wf, wh = _split_rows(wi, [c_in, width])
+                add(f"{tag}_trunk_{i}_w", wf)
+                add(f"{tag}_trunk_{i}_wh", wh)
             else:
                 add(f"{tag}_trunk_{i}_w", wi)
             add(f"{tag}_trunk_{i}_b", bi)
@@ -390,7 +391,9 @@ def fused_mlp_eval(
 
     if rays_per_tile is None:
         if use_voxel:
-            rows_budget //= 2  # voxel PE triples the live feature channels
+            # wider voxel inputs want smaller tiles (measured post-concat
+            # refactor: 1536 ≈ 1024 < 2048)
+            rows_budget = (3 * rows_budget) // 4
         rays_per_tile = max(1, rows_budget // s)
     r = min(rays_per_tile, n_rays)
     while n_rays % r:

@@ -36,7 +36,6 @@ from ..models.mlp import ObjectNeRFConfig, LEAKY_SLOPE
 from .pallas_mlp import (
     prepare_kernel_weights,
     fused_mlp_eval,
-    _piece_sizes,
     _broadcast_rows,
     _dot,
 )
@@ -99,175 +98,247 @@ def _bwd_kernel(
     dt = dtype
     first = pl.program_id(0) == 0
 
-    # ---- recompute forward, stashing activations -------------------------
-    xyz = xyz_ref[:]
-    pre_xyz = _dot(xyz, w["pe_xyz_S"], jnp.float32) + w["pe_xyz_phase"]
-    xyz_sin = jnp.sin(pre_xyz)
+    rows = xyz_ref.shape[0]
+    # two independent row-halves interleaved through every layer, forward
+    # recompute AND reverse sweep — same MXU-latency argument as the fwd
+    # kernel's _eval_branches (the serial layer chain stalls the MXU; two
+    # parallel half-chains overlap)
+    n_half = 2 if (rows % 16 == 0 and rows >= 512) else 1
+    blk = rows // n_half
+    H = range(n_half)
+
+    def halves(x):
+        return [x[k * blk : (k + 1) * blk] for k in H]
+
+    # ---- recompute forward, stashing activations (per half) --------------
+    xyz_h = halves(xyz_ref[:])
+    pre_xyz_h = [_dot(x, w["pe_xyz_S"], jnp.float32) + w["pe_xyz_phase"]
+                 for x in xyz_h]
+    xyz_sin_h = [jnp.sin(p) for p in pre_xyz_h]
     if use_voxel:
-        raw = vox_ref[:]
-        svox = raw[:, : cfg.N_scn_voxel_size]
-        ivox = raw[:, cfg.N_scn_voxel_size :]
-        pre_svox = _dot(svox, w["pe_svox_S"], jnp.float32) + w["pe_svox_phase"]
-        svox_sin = jnp.sin(pre_svox)
-        pre_ivox = _dot(ivox, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
-        ivox_sin = jnp.sin(pre_ivox)
-        feat_pieces = [svox, svox_sin, xyz, xyz_sin]
+        raw_h = halves(vox_ref[:])
+        svox_h = [raw[:, : cfg.N_scn_voxel_size] for raw in raw_h]
+        ivox_h = [raw[:, cfg.N_scn_voxel_size :] for raw in raw_h]
+        pre_svox_h = [
+            _dot(x, w["pe_svox_S"], jnp.float32) + w["pe_svox_phase"]
+            for x in svox_h
+        ]
+        svox_sin_h = [jnp.sin(p) for p in pre_svox_h]
+        pre_ivox_h = [
+            _dot(x, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
+            for x in ivox_h
+        ]
+        ivox_sin_h = [jnp.sin(p) for p in pre_ivox_h]
+        feat_pieces_h = [
+            [svox_h[k], svox_sin_h[k], xyz_h[k], xyz_sin_h[k]] for k in H
+        ]
     else:
-        feat_pieces = [xyz, xyz_sin]
+        feat_pieces_h = [[xyz_h[k], xyz_sin_h[k]] for k in H]
 
-    dir_pe = dir_ref[:]  # (RS, C_dir), pre-repeated
+    dir_pe_h = halves(dir_ref[:])  # (RS, C_dir), pre-repeated
 
-    g = g_ref[:]  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
+    g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
 
-    def acc(name, val):
+    def acc(name, vals):
         @pl.when(first)
         def _():
             d_w_refs[name][:] = jnp.zeros_like(d_w_refs[name])
 
-        d_w_refs[name][:] += val
+        tot = vals[0]
+        for v in vals[1:]:
+            tot = tot + v
+        d_w_refs[name][:] += tot
 
-    def branch_fwd(tag, depth, skips, pieces):
+    def branch_fwd(tag, depth, skips, cat_h):
+        # cat_h: per-half concatenated input features (the reference layout
+        # is this concatenation) — one matmul per consuming layer.
         # activations are stashed at matmul precision (`dt`, bf16 in the
         # fast path) — they re-enter the MXU as bf16 anyway, so the stash
         # loses nothing while halving the VMEM footprint
-        hs = []
-        h = None
+        hs_h = [[] for _ in H]
+        h_h = [None] * n_half
         for i in range(depth):
-            if i == 0:
-                accm = sum(
-                    _dot(p, w[f"{tag}_trunk_{i}_w{j}"], dt)
-                    for j, p in enumerate(pieces)
-                )
-            elif i in skips:
-                accm = sum(
-                    _dot(p, w[f"{tag}_trunk_{i}_w{j}"], dt)
-                    for j, p in enumerate(pieces)
-                ) + _dot(h, w[f"{tag}_trunk_{i}_wh"], dt)
-            else:
-                accm = _dot(h, w[f"{tag}_trunk_{i}_w"], dt)
-            pre = accm + w[f"{tag}_trunk_{i}_b"]
-            h = jnp.where(pre >= 0, pre, pre * LEAKY_SLOPE).astype(dt)
-            hs.append(h)
-        hf = (_dot(h, w[f"{tag}_final_w"], dt) + w[f"{tag}_final_b"]).astype(dt)
-        pre_d = (
-            _dot(hf, w[f"{tag}_dir_wh"], dt)
-            + _dot(dir_pe, w[f"{tag}_dir_wd"], dt)
+            for k in H:
+                if i == 0:
+                    accm = _dot(cat_h[k], w[f"{tag}_trunk_{i}_w"], dt)
+                elif i in skips:
+                    accm = (
+                        _dot(cat_h[k], w[f"{tag}_trunk_{i}_w"], dt)
+                        + _dot(h_h[k], w[f"{tag}_trunk_{i}_wh"], dt)
+                    )
+                else:
+                    accm = _dot(h_h[k], w[f"{tag}_trunk_{i}_w"], dt)
+                pre = accm + w[f"{tag}_trunk_{i}_b"]
+                h_h[k] = jnp.where(pre >= 0, pre, pre * LEAKY_SLOPE).astype(dt)
+                hs_h[k].append(h_h[k])
+        hf_h = [
+            (_dot(h_h[k], w[f"{tag}_final_w"], dt)
+             + w[f"{tag}_final_b"]).astype(dt)
+            for k in H
+        ]
+        pre_d_h = [
+            _dot(hf_h[k], w[f"{tag}_dir_wh"], dt)
+            + _dot(dir_pe_h[k], w[f"{tag}_dir_wd"], dt)
             + w[f"{tag}_dir_b"]
-        )
-        denc = jnp.where(pre_d >= 0, pre_d, pre_d * LEAKY_SLOPE).astype(dt)
-        rgb = jax.nn.sigmoid(_dot(denc, w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"])
-        return hs, hf, denc, rgb
+            for k in H
+        ]
+        denc_h = [jnp.where(p >= 0, p, p * LEAKY_SLOPE).astype(dt)
+                  for p in pre_d_h]
+        rgb_h = [
+            jax.nn.sigmoid(
+                _dot(denc_h[k], w[f"{tag}_rgb_w"], dt) + w[f"{tag}_rgb_b"]
+            )
+            for k in H
+        ]
+        return hs_h, hf_h, denc_h, rgb_h
 
-    def branch_bwd(tag, depth, skips, pieces, hs, hf, denc, rgb,
-                   g_sigma, g_rgb, need_piece_grad=None):
+    def branch_bwd(tag, depth, skips, cat_h, hs_h, hf_h, denc_h, rgb_h,
+                   g_sigma_h, g_rgb_h, need_cat_grad):
         # rgb head
-        d_pre_r = g_rgb * rgb * (1.0 - rgb)
-        acc(f"{tag}_rgb_w", _dot_t(denc, d_pre_r, dt))
-        acc(f"{tag}_rgb_b", _colsum(d_pre_r))
-        d_denc = _dot_nt(d_pre_r, w[f"{tag}_rgb_w"], dt)
-        d_pre_d = jnp.where(denc.astype(jnp.float32) >= 0, d_denc,
-                            d_denc * LEAKY_SLOPE)
-        acc(f"{tag}_dir_wh", _dot_t(hf, d_pre_d, dt))
-        acc(f"{tag}_dir_wd", _dot_t(dir_pe, d_pre_d, dt))
-        acc(f"{tag}_dir_b", _colsum(d_pre_d))
-        d_hf = _dot_nt(d_pre_d, w[f"{tag}_dir_wh"], dt)
+        d_pre_r_h = [g_rgb_h[k] * rgb_h[k] * (1.0 - rgb_h[k]) for k in H]
+        acc(f"{tag}_rgb_w", [_dot_t(denc_h[k], d_pre_r_h[k], dt) for k in H])
+        acc(f"{tag}_rgb_b", [_colsum(d) for d in d_pre_r_h])
+        d_denc_h = [_dot_nt(d, w[f"{tag}_rgb_w"], dt) for d in d_pre_r_h]
+        d_pre_d_h = [
+            jnp.where(denc_h[k].astype(jnp.float32) >= 0, d_denc_h[k],
+                      d_denc_h[k] * LEAKY_SLOPE)
+            for k in H
+        ]
+        acc(f"{tag}_dir_wh", [_dot_t(hf_h[k], d_pre_d_h[k], dt) for k in H])
+        acc(f"{tag}_dir_wd", [_dot_t(dir_pe_h[k], d_pre_d_h[k], dt) for k in H])
+        acc(f"{tag}_dir_b", [_colsum(d) for d in d_pre_d_h])
+        d_hf_h = [_dot_nt(d, w[f"{tag}_dir_wh"], dt) for d in d_pre_d_h]
         # final + sigma heads
-        h_last = hs[-1]
-        acc(f"{tag}_final_w", _dot_t(h_last, d_hf, dt))
-        acc(f"{tag}_final_b", _colsum(d_hf))
-        acc(f"{tag}_sigma_w", _dot_t(h_last, g_sigma, dt))
-        acc(f"{tag}_sigma_b", _colsum(g_sigma))
-        d_h = (
-            _dot_nt(d_hf, w[f"{tag}_final_w"], dt)
-            + _dot_nt(g_sigma, w[f"{tag}_sigma_w"], dt)
-        )
-        # trunk, reversed; piece cotangents are only materialized when a
-        # consumer exists (voxel features / codes) — xyz and dir never
-        # feed trainable parameters, so their cotangents are skipped
-        if need_piece_grad is None:
-            need_piece_grad = [True] * len(pieces)
-        d_pieces = [
-            (jnp.zeros_like(p) if need else None)
-            for p, need in zip(pieces, need_piece_grad)
+        h_last_h = [hs_h[k][-1] for k in H]
+        acc(f"{tag}_final_w", [_dot_t(h_last_h[k], d_hf_h[k], dt) for k in H])
+        acc(f"{tag}_final_b", [_colsum(d) for d in d_hf_h])
+        acc(f"{tag}_sigma_w", [_dot_t(h_last_h[k], g_sigma_h[k], dt) for k in H])
+        acc(f"{tag}_sigma_b", [_colsum(g) for g in g_sigma_h])
+        d_h_h = [
+            _dot_nt(d_hf_h[k], w[f"{tag}_final_w"], dt)
+            + _dot_nt(g_sigma_h[k], w[f"{tag}_sigma_w"], dt)
+            for k in H
+        ]
+        # trunk, reversed; the concatenated-input cotangent is one matmul
+        # per consuming layer, materialized only when a trainable consumer
+        # exists (voxel features / codes — xyz and dir never feed params)
+        d_cat_h = [
+            (jnp.zeros(cat_h[k].shape, jnp.float32) if need_cat_grad
+             else None)
+            for k in H
         ]
         for i in reversed(range(depth)):
-            d_pre = jnp.where(hs[i].astype(jnp.float32) >= 0, d_h,
-                              d_h * LEAKY_SLOPE)
-            bname = f"{tag}_trunk_{i}_b"
-            acc(bname, _colsum(d_pre))
-            h_in = hs[i - 1] if i > 0 else None
+            d_pre_h = [
+                jnp.where(hs_h[k][i].astype(jnp.float32) >= 0, d_h_h[k],
+                          d_h_h[k] * LEAKY_SLOPE)
+                for k in H
+            ]
+            acc(f"{tag}_trunk_{i}_b", [_colsum(d) for d in d_pre_h])
+            h_in_h = [hs_h[k][i - 1] if i > 0 else None for k in H]
             if i == 0 or i in skips:
-                for j, p in enumerate(pieces):
-                    acc(f"{tag}_trunk_{i}_w{j}", _dot_t(p, d_pre, dt))
-                    if need_piece_grad[j]:
-                        d_pieces[j] += _dot_nt(
-                            d_pre, w[f"{tag}_trunk_{i}_w{j}"], dt
+                acc(f"{tag}_trunk_{i}_w",
+                    [_dot_t(cat_h[k], d_pre_h[k], dt) for k in H])
+                if need_cat_grad:
+                    for k in H:
+                        d_cat_h[k] += _dot_nt(
+                            d_pre_h[k], w[f"{tag}_trunk_{i}_w"], dt
                         )
                 if i == 0:
-                    d_h = None
+                    d_h_h = [None] * n_half
                 else:
-                    acc(f"{tag}_trunk_{i}_wh", _dot_t(h_in, d_pre, dt))
-                    d_h = _dot_nt(d_pre, w[f"{tag}_trunk_{i}_wh"], dt)
+                    acc(f"{tag}_trunk_{i}_wh",
+                        [_dot_t(h_in_h[k], d_pre_h[k], dt) for k in H])
+                    d_h_h = [_dot_nt(d, w[f"{tag}_trunk_{i}_wh"], dt)
+                             for d in d_pre_h]
             else:
-                acc(f"{tag}_trunk_{i}_w", _dot_t(h_in, d_pre, dt))
-                d_h = _dot_nt(d_pre, w[f"{tag}_trunk_{i}_w"], dt)
-        return d_pieces
+                acc(f"{tag}_trunk_{i}_w",
+                    [_dot_t(h_in_h[k], d_pre_h[k], dt) for k in H])
+                d_h_h = [_dot_nt(d, w[f"{tag}_trunk_{i}_w"], dt)
+                         for d in d_pre_h]
+        return d_cat_h
 
     # ---- scene branch ------------------------------------------------------
-    # xyz / xyz_sin cotangents have no trainable consumers → skipped
-    feat_need = [True, True, False, False] if use_voxel else [False, False]
-    hs, hf, denc, rgb = branch_fwd("s", cfg.D, cfg.skips, feat_pieces)
-    d_feat = branch_bwd(
-        "s", cfg.D, cfg.skips, feat_pieces, hs, hf, denc, rgb,
-        g[:, 0:1], g[:, 1:4], need_piece_grad=feat_need,
+    # concat the feature pieces once per half (bf16, the matmul dtype); the
+    # scene cotangent is only needed on the voxel path (svox channels)
+    cat_s_h = [
+        jnp.concatenate([p.astype(dt) for p in feat_pieces_h[k]], axis=-1)
+        for k in H
+    ]
+    n_svox_cols = cfg.N_scn_voxel_size * (1 + 2 * cfg.N_freq_voxel)
+    hs_h, hf_h, denc_h, rgb_h = branch_fwd("s", cfg.D, cfg.skips, cat_s_h)
+    d_cat_s_h = branch_bwd(
+        "s", cfg.D, cfg.skips, cat_s_h, hs_h, hf_h, denc_h, rgb_h,
+        [g[:, 0:1] for g in g_h], [g[:, 1:4] for g in g_h],
+        need_cat_grad=use_voxel,
     )
 
-    d_codes_rows = None
-    d_ivox = d_ivox_sin = None
+    d_codes_rows_h = None
+    d_cat_o_h = None
+    c_in_s = cat_s_h[0].shape[-1]
     if forward_instance:
-        codes = code_ref[:]  # (RS, Cc), pre-repeated
-        extra = [ivox, ivox_sin, codes] if use_voxel else [codes]
-        extra_need = [True, True, True] if use_voxel else [True]
-        pieces_o = feat_pieces + extra
-        hso, hfo, denco, rgbo = branch_fwd("o", cfg.inst_D, cfg.inst_skips,
-                                           pieces_o)
-        d_pieces_o = branch_bwd(
-            "o", cfg.inst_D, cfg.inst_skips, pieces_o, hso, hfo, denco, rgbo,
-            g[:, 4:5], g[:, 5:8], need_piece_grad=feat_need + extra_need,
+        codes_h = halves(code_ref[:])  # (RS, Cc), pre-repeated
+        extra_h = (
+            [[ivox_h[k], ivox_sin_h[k], codes_h[k]] for k in H]
+            if use_voxel
+            else [[codes_h[k]] for k in H]
         )
-        nf = len(feat_pieces)
-        for j in range(nf):
-            if feat_need[j]:
-                d_feat[j] += d_pieces_o[j]
+        cat_o_h = [
+            jnp.concatenate(
+                [cat_s_h[k]] + [p.astype(dt) for p in extra_h[k]], axis=-1
+            )
+            for k in H
+        ]
+        hso_h, hfo_h, denco_h, rgbo_h = branch_fwd(
+            "o", cfg.inst_D, cfg.inst_skips, cat_o_h
+        )
+        d_cat_o_h = branch_bwd(
+            "o", cfg.inst_D, cfg.inst_skips, cat_o_h, hso_h, hfo_h,
+            denco_h, rgbo_h,
+            [g[:, 4:5] for g in g_h], [g[:, 5:8] for g in g_h],
+            need_cat_grad=True,  # codes always need their cotangent
+        )
+        d_codes_rows_h = [
+            d_cat_o_h[k][:, -codes_h[0].shape[-1]:] for k in H
+        ]
         if use_voxel:
-            d_ivox, d_ivox_sin, d_codes_rows = d_pieces_o[nf:]
-        else:
-            (d_codes_rows,) = d_pieces_o[nf:]
+            for k in H:
+                d_cat_s_h[k] += d_cat_o_h[k][:, :c_in_s]
 
     # per-sample code grads (reduced to per-ray outside the kernel)
     r, s = n_rays_tile, n_samples
-    if d_codes_rows is not None:
-        d_code_ref[:] = d_codes_rows
+    if d_codes_rows_h is not None:
+        d_code_ref[:] = jnp.concatenate(d_codes_rows_h, axis=0)
     else:
         d_code_ref[:] = jnp.zeros_like(d_code_ref)
 
-    # voxel-feature grads: identity piece + through the sin PE
+    # voxel-feature grads: identity piece + through the sin PE. Piece
+    # cotangents are slices of the concatenated-input cotangent (layout:
+    # [svox | svox_sin | xyz | xyz_sin] and [... | ivox | ivox_sin | codes])
     if use_voxel:
-        if forward_instance:
-            d_svox = d_feat[0]
-            d_svox_sin = d_feat[1]
-        else:
-            d_svox, d_svox_sin = d_feat[0], d_feat[1]
-        d_svox = d_svox + _dot_nt(
-            d_svox_sin * jnp.cos(pre_svox), w["pe_svox_S"], jnp.float32
-        )
-        if forward_instance:
-            d_ivox_full = d_ivox + _dot_nt(
-                d_ivox_sin * jnp.cos(pre_ivox), w["pe_ivox_S"], jnp.float32
+        nsv = cfg.N_scn_voxel_size
+        nov = cfg.N_obj_voxel_size
+        d_vox_parts = []
+        for k in H:
+            d_svox = d_cat_s_h[k][:, :nsv] + _dot_nt(
+                d_cat_s_h[k][:, nsv:n_svox_cols] * jnp.cos(pre_svox_h[k]),
+                w["pe_svox_S"], jnp.float32,
             )
-        else:
-            d_ivox_full = jnp.zeros((r * s, cfg.N_obj_voxel_size), jnp.float32)
-        d_vox_ref[:] = jnp.concatenate([d_svox, d_ivox_full], axis=-1)
+            if forward_instance:
+                d_ivox = d_cat_o_h[k][:, c_in_s : c_in_s + nov]
+                d_ivox_sin = d_cat_o_h[k][
+                    :, c_in_s + nov : c_in_s + nov * (1 + 2 * cfg.N_freq_voxel)
+                ]
+                d_ivox_full = d_ivox + _dot_nt(
+                    d_ivox_sin * jnp.cos(pre_ivox_h[k]), w["pe_ivox_S"],
+                    jnp.float32,
+                )
+            else:
+                d_ivox_full = jnp.zeros((blk, cfg.N_obj_voxel_size),
+                                        jnp.float32)
+            d_vox_parts.append(
+                jnp.concatenate([d_svox, d_ivox_full], axis=-1)
+            )
+        d_vox_ref[:] = jnp.concatenate(d_vox_parts, axis=0)
 
     # PE matrices and phases receive no gradient (constants)
     for name in names:
@@ -278,23 +349,16 @@ def _bwd_kernel(
 
 
 def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
-    """Reassemble per-split weight grads into the mlp param pytree layout."""
+    """Reassemble the kernel's weight grads into the mlp param pytree."""
     d = dict(zip(names, d_arrays))
 
-    def stack(prefix, sizes_names):
-        return jnp.concatenate([d[n] for n in sizes_names], axis=0)
-
     def branch(tag, depth, skips):
-        sizes = _piece_sizes(cfg, tag)
         trunk = []
         for i in range(depth):
-            if i == 0:
-                wkeys = [f"{tag}_trunk_{i}_w{j}" for j in range(len(sizes))]
-                wgrad = stack(tag, wkeys)
-            elif i in skips:
-                wkeys = [f"{tag}_trunk_{i}_w{j}" for j in range(len(sizes))]
+            if i in skips and i > 0:
                 wgrad = jnp.concatenate(
-                    [d[k] for k in wkeys] + [d[f"{tag}_trunk_{i}_wh"]], axis=0
+                    [d[f"{tag}_trunk_{i}_w"], d[f"{tag}_trunk_{i}_wh"]],
+                    axis=0,
                 )
             else:
                 wgrad = d[f"{tag}_trunk_{i}_w"]
@@ -343,7 +407,7 @@ def make_fused_mlp_op(
 
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
         n_rays, s, _ = xyz.shape
-        budget = bwd_rows_budget // 2 if use_voxel else bwd_rows_budget
+        budget = bwd_rows_budget
         r = max(1, budget // s)
         r = min(r, n_rays)
         while n_rays % r:
@@ -420,7 +484,8 @@ def make_fused_mlp_op(
             out_specs=out_specs,
             out_shape=out_shapes,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=117 * 1024 * 1024  # v5e has 128 MiB;
+                # the voxel bwd stash at 4096-row tiles needs ~114 MiB
             ),
             interpret=interpret,
         )(*inputs)

@@ -110,7 +110,8 @@ def _eval_models(
         if voxel_ctx is not None:
             features, topo, static = voxel_ctx
             raw, _ = voxel_lookup_raw(
-                features, topo, static, xyz.reshape(-1, 3), trilinear=True
+                features, topo, static, xyz.reshape(-1, 3), trilinear=True,
+                lowp=settings.pallas_dtype == "bfloat16",
             )
             voxel_raw = raw.reshape(n_rays, n_samp, -1)
         codes = embedding_instance
@@ -221,7 +222,10 @@ def render_rays_fused_eval(
         if voxel_ctx is None:
             return None
         features, topo, static = voxel_ctx
-        raw, _ = voxel_lookup_raw(features, topo, static, xyz.reshape(-1, 3))
+        raw, _ = voxel_lookup_raw(
+            features, topo, static, xyz.reshape(-1, 3),
+            lowp=settings.pallas_dtype == "bfloat16",
+        )
         return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]

@@ -37,23 +37,53 @@ _BOX_EDGES = [
 
 
 class SceneVisualizer:
-    """Accumulates colored geometry; `save(path)` writes one PLY."""
+    """Accumulates colored geometry; `save(path)` writes one PLY — or, when
+    the path ends in `.html`, a standalone interactive WebGL viewer
+    (orbit/pan/zoom, layer toggles, 3D text labels — the O3dVisualizer
+    interactive surface, tools/O3dVisualizer.py:25-223, without open3d)."""
 
     def __init__(self):
         self._pts = []
         self._colors = []
+        self._tags = []  # per-block provenance: "points" | "strip" | "mesh"
+        self._segments = []  # (a, b, color) — native lines for the viewer
+        self._meshes = []  # dicts: vertices/faces/colors
+        self._labels = []  # dicts: position/text
 
-    def add_points(self, pts, color=(0.7, 0.7, 0.7), colors=None):
+    def add_points(self, pts, color=(0.7, 0.7, 0.7), colors=None, _tag="points"):
         pts = np.asarray(pts, np.float32).reshape(-1, 3)
         self._pts.append(pts)
+        self._tags.append(_tag)
         if colors is not None:
             self._colors.append(np.asarray(colors, np.float32).reshape(-1, 3))
         else:
             self._colors.append(np.tile(np.asarray(color, np.float32), (len(pts), 1)))
 
     def add_line(self, a, b, color=(1, 0, 0), samples=32):
-        self.add_points(_segment_points(np.asarray(a, float),
-                                        np.asarray(b, float), samples), color)
+        a = np.asarray(a, float)
+        b = np.asarray(b, float)
+        self._segments.append((a, b, np.asarray(color, np.float32)))
+        self.add_points(_segment_points(a, b, samples), color, _tag="strip")
+
+    def add_mesh(self, vertices, faces, color=(0.8, 0.8, 0.85), colors=None):
+        """Triangle mesh (e.g. from tools/extract_mesh.py PLYs). The PLY
+        export keeps vertices as points; the HTML viewer shades triangles."""
+        vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        faces = np.asarray(faces, np.int64).reshape(-1, 3)
+        if colors is not None:
+            colors = np.asarray(colors, np.float32).reshape(-1, 3)
+        self._meshes.append(
+            {"vertices": vertices, "faces": faces, "colors": colors,
+             "color": np.asarray(color, np.float32)}
+        )
+        self.add_points(vertices, color=color, colors=colors, _tag="mesh")
+
+    def add_label(self, position, text):
+        """3D-anchored text (the reference's text_3d, O3dVisualizer.py)."""
+        self._labels.append(
+            {"position": np.asarray(position, float).reshape(3),
+             "text": str(text)}
+        )
 
     def add_bbox(self, bounds, transform=None, color=(1, 0, 0)):
         """bounds (2,3) [min;max]; optional (4,4) box→world transform."""
@@ -81,10 +111,48 @@ class SceneVisualizer:
             self.add_line(a, b, color)
 
     def save(self, path):
+        if str(path).endswith(".html"):
+            return self.save_html(path)
         pts = np.concatenate(self._pts) if self._pts else np.zeros((0, 3))
         colors = np.concatenate(self._colors) if self._colors else None
         write_ply(path, pts, colors=colors)
         return path
+
+    def save_html(self, path, title="object-nerf-tpu scene"):
+        from .html_viewer import write_html_viewer
+
+        layers = []
+        # the viewer draws lines/meshes natively — only "points"-tagged
+        # blocks become the point layer (strips/mesh verts are PLY-only)
+        pure_pts = [b for b, t in zip(self._pts, self._tags) if t == "points"]
+        pure_cols = [c for c, t in zip(self._colors, self._tags)
+                     if t == "points"]
+        if pure_pts:
+            layers.append({
+                "name": "points", "kind": "points",
+                "positions": np.concatenate(pure_pts),
+                "colors": np.concatenate(pure_cols),
+            })
+        if self._segments:
+            seg_pos = np.concatenate(
+                [np.stack([a, b]) for a, b, _ in self._segments]
+            ).astype(np.float32)
+            seg_col = np.concatenate(
+                [np.stack([c, c]) for _, _, c in self._segments]
+            ).astype(np.float32)
+            layers.append({"name": "lines", "kind": "lines",
+                           "positions": seg_pos, "colors": seg_col})
+        for i, m in enumerate(self._meshes):
+            tri = m["vertices"][m["faces"].reshape(-1)]
+            cols = (
+                m["colors"][m["faces"].reshape(-1)]
+                if m["colors"] is not None
+                else np.tile(m["color"], (len(tri), 1))
+            )
+            layers.append({"name": f"mesh_{i}", "kind": "mesh",
+                           "positions": tri, "colors": cols})
+        return write_html_viewer(path, layers, labels=self._labels,
+                                 title=title)
 
 
 def visualize_scene(pcd_path=None, poses=None, bboxes=None, out="scene_vis.ply"):

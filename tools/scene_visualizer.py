@@ -1,10 +1,13 @@
 """Scene visualizer CLI (reference tools/scene_visualizer.py contract).
 
     python tools/scene_visualizer.py dataset_config=config/toy_desk_2.yml \
-        out=scene_vis.ply [draw_poses=true] [draw_bbox=true]
+        out=scene_vis.html [draw_poses=true] [draw_bbox=true] [mesh=m.ply]
 
-Writes a PLY combining the scene point cloud, camera frusta + trajectory,
-and object bboxes (no open3d here — view the PLY in any viewer).
+`out=*.html` writes a standalone INTERACTIVE WebGL viewer (orbit/pan/zoom,
+layer toggles, instance-id labels — the O3dVisualizer surface without
+open3d, zero dependencies, works offline); `out=*.ply` writes flattened
+geometry for any external viewer. `mesh=` overlays an extracted mesh
+(tools/extract_mesh.py output).
 """
 
 import os
@@ -46,15 +49,23 @@ def main(argv):
         for inst_id in extra.get("instance_id", []):
             try:
                 h = BBoxRayHelper(cfg, inst_id)
-                vis.add_bbox(
-                    h.bbox_bounds,
-                    transform=np.linalg.inv(h.axis_align_mat),
-                    color=(1, 0.2, 0.2),
-                )
+                T = np.linalg.inv(h.axis_align_mat)
+                vis.add_bbox(h.bbox_bounds, transform=T, color=(1, 0.2, 0.2))
+                center = np.asarray(h.bbox_bounds).mean(0)
+                vis.add_label(T[:3, :3] @ center + T[:3, 3],
+                              f"obj {inst_id}")
             except Exception as e:
                 print(f"bbox for instance {inst_id} skipped: {e}")
 
-    out = cfg.get("out", "scene_vis.ply")
+    mesh_path = cfg.get("mesh")
+    if mesh_path:
+        m = read_ply(mesh_path)
+        if m.get("faces") is not None:
+            vis.add_mesh(m["points"], m["faces"], colors=m.get("colors"))
+        else:
+            vis.add_points(m["points"], colors=m.get("colors"))
+
+    out = cfg.get("out", "scene_vis.html")
     vis.save(out)
     print(f"wrote {out}")
 
