@@ -68,3 +68,30 @@ def test_demo_pose_helpers():
     moved = move_camera_pose(pose.copy(), 0.3)
     assert np.abs(moved[:3, 3] - pose[:3, 3]).max() > 0
     assert np.abs(moved[:3, 3] - pose[:3, 3]).max() < 0.05  # small spiral step
+
+
+def test_desk_bbox_sanity_viewer(tmp_path, capsys):
+    """datasets/desk_bbox/test_bbox.py (reference :6-30) writes an
+    interactive viewer with one labeled box per annotation."""
+    import importlib.util
+    import json as _json
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "desk_test_bbox",
+        Path(__file__).resolve().parents[1] / "datasets/desk_bbox/test_bbox.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "desk1.html"
+    mod.main([f"out={out}"])
+    html = out.read_text()
+    data = _json.loads(re.search(r"const DATA=(\[.*?\]), LABELS", html).group(1))
+    labels = _json.loads(
+        re.search(r"LABELS=(\[.*?\]), CENTER", html).group(1)
+    )
+    names = {d["name"] for d in data}
+    assert "lines" in names
+    # desk1 has 4 positioned boxes -> 4 labels, 4*12 edges = 96 endpoints
+    assert len(labels) == 4
+    assert next(d for d in data if d["name"] == "lines")["n"] == 96
