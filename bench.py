@@ -48,35 +48,35 @@ def _bench_train_step(cfg, use_voxel=False):
                                  scene_center=[0.0, 0.0, 0.0]))
     cfg.train.batch_size = 2048
     cfg.model.use_voxel_embedding = use_voxel
-    tmp = None
-    if use_voxel:
-        from object_nerf_tpu.data.ply_io import write_ply
+    with tempfile.TemporaryDirectory() as td:
+        if use_voxel:
+            from object_nerf_tpu.data.ply_io import write_ply
 
+            rng = np.random.RandomState(0)
+            pts = [rng.rand(8000, 3) * [2.4, 2.4, 0.0] - [1.2, 1.2, 0.0]]
+            for c, r in ([[0.3, 0.0, 0.25], 0.25], [[-0.35, 0.2, 0.2], 0.2]):
+                d = rng.randn(6000, 3)
+                d /= np.linalg.norm(d, axis=-1, keepdims=True)
+                pts.append(np.asarray(c) + r * d)
+            pcd = f"{td}/scene.ply"
+            write_ply(pcd, np.concatenate(pts).astype(np.float32))
+            cfg.dataset_extra.merge(dict(pcd_path=pcd, voxel_size=0.1,
+                                         neighbor_marks=3))
+        ds = SyntheticDataset("train", img_wh=(64, 48), n_frames=2,
+                              dataset_extra=cfg.dataset_extra)
+        system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
         rng = np.random.RandomState(0)
-        pts = [rng.rand(8000, 3) * [2.4, 2.4, 0.0] - [1.2, 1.2, 0.0]]
-        for c, r in ([[0.3, 0.0, 0.25], 0.25], [[-0.35, 0.2, 0.2], 0.2]):
-            d = rng.randn(6000, 3)
-            d /= np.linalg.norm(d, axis=-1, keepdims=True)
-            pts.append(np.asarray(c) + r * d)
-        tmp = tempfile.NamedTemporaryFile(suffix=".ply", delete=False)
-        write_ply(tmp.name, np.concatenate(pts).astype(np.float32))
-        cfg.dataset_extra.merge(dict(pcd_path=tmp.name, voxel_size=0.1,
-                                     neighbor_marks=3))
-    ds = SyntheticDataset("train", img_wh=(64, 48), n_frames=2,
-                          dataset_extra=cfg.dataset_extra)
-    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
-    rng = np.random.RandomState(0)
-    batches = [ds.sample_batch(2048, rng) for _ in range(8)]
-    m = system.training_step(batches[0])
-    float(jax.device_get(m["train/loss"]))
-    for i in range(5):
-        m = system.training_step(batches[i % 8])
-    float(jax.device_get(m["train/loss"]))
-    t0 = time.perf_counter()
-    for i in range(20):
-        m = system.training_step(batches[i % 8])
-    float(jax.device_get(m["train/loss"]))
-    return 2048 / ((time.perf_counter() - t0) / 20)
+        batches = [ds.sample_batch(2048, rng) for _ in range(8)]
+        m = system.training_step(batches[0])
+        float(jax.device_get(m["train/loss"]))
+        for i in range(5):
+            m = system.training_step(batches[i % 8])
+        float(jax.device_get(m["train/loss"]))
+        t0 = time.perf_counter()
+        for i in range(20):
+            m = system.training_step(batches[i % 8])
+        float(jax.device_get(m["train/loss"]))
+        return 2048 / ((time.perf_counter() - t0) / 20)
 
 
 def main():

@@ -457,6 +457,25 @@ def fused_mlp_eval(
 # ---------------------------------------------------------------------------
 
 
+def _composite_weights(sig, dl, r, s):
+    """Alpha-compositing weights over (r, s) lane tiles — the ONE shared
+    implementation behind _render_kernel and _weights_kernel (their pdf
+    parity depends on it). Hillis-Steele inclusive cumprod: jnp.cumprod is
+    not lowerable on TPU Pallas. Math matches ops/compositing.py
+    (alpha = 1-exp(-δ·relu(σ)), transmittance ε=1e-10)."""
+    alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
+    x = 1.0 - alphas + 1e-10
+    k = 1
+    while k < s:
+        pad = jnp.ones((r, k), x.dtype)
+        x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
+        k *= 2
+    trans = jnp.concatenate(
+        [jnp.ones((r, 1), jnp.float32), x[:, :-1]], axis=-1
+    )
+    return alphas * trans
+
+
 def _render_kernel(
     *refs,
     cfg: ObjectNeRFConfig,
@@ -488,24 +507,8 @@ def _render_kernel(
     last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
     deltas_scene = jnp.concatenate([deltas, last], axis=-1)
 
-    def cumprod_lanes(x):
-        # Hillis-Steele inclusive scan (cumprod is not lowerable on TPU
-        # Pallas): log2(S) shifted multiplies along the lane axis
-        k = 1
-        while k < s:
-            pad = jnp.ones((r, k), x.dtype)
-            x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
-            k *= 2
-        return x
-
     def composite(sig_flat, rgb_flat, dl):
-        sig = sig_flat.reshape(r, s)
-        alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
-        trans = cumprod_lanes(1.0 - alphas + 1e-10)
-        trans = jnp.concatenate(
-            [jnp.ones((r, 1), jnp.float32), trans[:, :-1]], axis=-1
-        )
-        wts = alphas * trans  # (R, S)
+        wts = _composite_weights(sig_flat.reshape(r, s), dl, r, s)  # (R, S)
         opacity = jnp.sum(wts, axis=-1, keepdims=True)
         depth = jnp.sum(wts * z, axis=-1, keepdims=True)
         chans = [
@@ -684,17 +687,7 @@ def _weights_kernel(
     deltas = z[:, 1:] - z[:, :-1]
     last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
     dl = jnp.concatenate([deltas, last], axis=-1)
-    sig = sigma[:, 0].reshape(r, s)
-    alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
-    # Hillis-Steele inclusive cumprod along lanes (see _render_kernel)
-    x = 1.0 - alphas + 1e-10
-    k = 1
-    while k < s:
-        pad = jnp.ones((r, k), x.dtype)
-        x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
-        k *= 2
-    trans = jnp.concatenate([jnp.ones((r, 1), jnp.float32), x[:, :-1]], axis=-1)
-    out_ref[:] = alphas * trans
+    out_ref[:] = _composite_weights(sigma[:, 0].reshape(r, s), dl, r, s)
 
 
 def fused_coarse_weights(

@@ -124,11 +124,14 @@ def _bwd_kernel(
             for x in svox_h
         ]
         svox_sin_h = [jnp.sin(p) for p in pre_svox_h]
-        pre_ivox_h = [
-            _dot(x, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
-            for x in ivox_h
-        ]
-        ivox_sin_h = [jnp.sin(p) for p in pre_ivox_h]
+        if forward_instance:
+            # the ivox PE only exists (prepare_kernel_weights) and is only
+            # consumed when the instance branch runs
+            pre_ivox_h = [
+                _dot(x, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
+                for x in ivox_h
+            ]
+            ivox_sin_h = [jnp.sin(p) for p in pre_ivox_h]
         feat_pieces_h = [
             [svox_h[k], svox_sin_h[k], xyz_h[k], xyz_sin_h[k]] for k in H
         ]
@@ -305,7 +308,6 @@ def _bwd_kernel(
                 d_cat_s_h[k] += d_cat_o_h[k][:, :c_in_s]
 
     # per-sample code grads (reduced to per-ray outside the kernel)
-    r, s = n_rays_tile, n_samples
     if d_codes_rows_h is not None:
         d_code_ref[:] = jnp.concatenate(d_codes_rows_h, axis=0)
     else:

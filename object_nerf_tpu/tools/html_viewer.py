@@ -83,10 +83,17 @@ def write_html_viewer(path, layers, labels=None, title="object-nerf-tpu scene"):
     radius = float(max(1e-3, np.percentile(
         np.linalg.norm(all_pts - center, axis=-1), 95)))
 
-    html = _TEMPLATE.replace("__TITLE__", title) \
-        .replace("__DATA__", json.dumps(payload)) \
-        .replace("__LABELS__", json.dumps(label_payload)) \
-        .replace("__CENTER__", json.dumps([float(c) for c in center])) \
+    def js(obj):
+        # '</script>' inside embedded strings would terminate the script
+        # block; escape the slash (still valid JSON/JS)
+        return json.dumps(obj).replace("</", "<\\/")
+
+    import html as _html
+
+    html = _TEMPLATE.replace("__TITLE__", _html.escape(title)) \
+        .replace("__DATA__", js(payload)) \
+        .replace("__LABELS__", js(label_payload)) \
+        .replace("__CENTER__", js([float(c) for c in center])) \
         .replace("__RADIUS__", repr(radius))
     Path(path).write_text(html)
     return str(path)

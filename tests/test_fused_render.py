@@ -111,3 +111,64 @@ def test_fused_eval_coarse_only_white_back():
         np.asarray(got["rgb_coarse"]), np.asarray(ref["rgb_coarse"]),
         rtol=1e-3, atol=2e-4,
     )
+
+
+def test_coarse_weights_kernel_matches_full_kernel_weights():
+    """The sigma-only pdf-weights kernel must agree with the full render
+    kernel's want_weights output (shared _composite_weights scan + same
+    trunk math) — this is what keeps the hierarchical sampler honest."""
+    from object_nerf_tpu.models.embedding import freq_encode
+    from object_nerf_tpu.ops.pallas_mlp import (
+        fused_coarse_weights, fused_render_tiles,
+    )
+
+    params = _params()
+    rays = _rays(16)
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    z = jnp.linspace(0.5, 3.0, SETTINGS.N_samples)[None, :].repeat(16, 0)
+    z = z + jnp.linspace(0, 0.01, 16)[:, None]  # de-degenerate rows
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    dir_pe = freq_encode(rays_d, CFG.N_freq_dir)
+
+    full = fused_render_tiles(
+        params["coarse"], CFG, xyz, z, dir_pe,
+        forward_instance=True, want_weights=True, interpret=True,
+    )
+    weights = fused_coarse_weights(
+        params["coarse"], CFG, xyz, z, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(weights), np.asarray(full["weights"]), rtol=2e-3,
+        atol=1e-5,
+    )
+
+
+def test_bwd_kernel_voxel_scene_only_grad():
+    """Regression: voxel embedding + forward_instance=False through the
+    custom-VJP op must be differentiable (the ivox PE only exists when the
+    instance branch runs)."""
+    import dataclasses
+
+    from object_nerf_tpu.ops.pallas_mlp_vjp import make_fused_mlp_op
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    k1 = jax.random.PRNGKey(3)
+    from object_nerf_tpu.models.mlp import init_object_nerf
+
+    params = init_object_nerf(k1, cfg)
+    op = make_fused_mlp_op(cfg, forward_instance=False, interpret=True)
+    n, s = 4, 16
+    xyz = jax.random.normal(k1, (n, s, 3))
+    dir_pe = jax.random.normal(k1, (n, 27))
+    codes = jnp.zeros((n, cfg.N_obj_code_length))
+    vox = jax.random.normal(k1, (n, s, 24)) * 0.1
+
+    def loss(p, v):
+        sigma, rgb, _, _ = op(p, xyz, dir_pe, codes, v)
+        return jnp.sum(sigma**2) + jnp.sum(rgb)
+
+    g_p, g_v = jax.grad(loss, argnums=(0, 1))(params, vox)
+    assert np.isfinite(float(jnp.sum(g_v)))
+    assert np.isfinite(
+        float(jnp.sum(g_p["scene"]["trunk"][0]["w"]))
+    )
