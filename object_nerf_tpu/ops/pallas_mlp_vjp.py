@@ -71,14 +71,16 @@ def _bwd_kernel(
     names: Tuple[str, ...],
     use_voxel: bool,
     forward_instance: bool,
+    per_ray_blocks: bool,
     dtype,
 ):
     """Backward over one ray tile.
 
-    Inputs: [xyz, dir_pe_rep, codes_rep, voxel_raw?, g_out(RS,8)] + weights —
-    per-ray quantities arrive pre-repeated per sample so every block is
-    (rows, C) with rows a multiple of the sample count (no per-ray sublane
-    alignment floor; smaller tiles fit VMEM on the voxel path).
+    Inputs: [xyz, dir_pe, codes, voxel_raw?, g_out(RS,8)] + weights.
+    per_ray_blocks: dir_pe/codes arrive as (R, C) per-ray blocks and are
+    broadcast to per-sample rows in-kernel (saves the pre-repeated (RS, C)
+    HBM round-trip); requires the ray-tile R to be sublane-aligned —
+    otherwise the host pre-repeats them to (RS, C).
     Outputs: [d_<weight> ...] (accumulated), d_codes (RS, Cc)
              [, d_voxel_raw (RS, C_vox)].
     """
@@ -138,7 +140,11 @@ def _bwd_kernel(
     else:
         feat_pieces_h = [[xyz_h[k], xyz_sin_h[k]] for k in H]
 
-    dir_pe_h = halves(dir_ref[:])  # (RS, C_dir), pre-repeated
+    def rowify(ref):
+        x = ref[:]
+        return _broadcast_rows(x, n_samples) if per_ray_blocks else x
+
+    dir_pe_h = halves(rowify(dir_ref))  # (RS, C_dir)
 
     g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
 
@@ -279,7 +285,7 @@ def _bwd_kernel(
     d_cat_o_h = None
     c_in_s = cat_s_h[0].shape[-1]
     if forward_instance:
-        codes_h = halves(code_ref[:])  # (RS, Cc), pre-repeated
+        codes_h = halves(rowify(code_ref))  # (RS, Cc)
         extra_h = (
             [[ivox_h[k], ivox_sin_h[k], codes_h[k]] for k in H]
             if use_voxel
@@ -421,14 +427,23 @@ def make_fused_mlp_op(
             mlp_params, cfg, forward_instance
         )
 
-        dir_rep = jnp.repeat(dir_pe, s, axis=0)
-        codes_rep = jnp.repeat(codes, s, axis=0)
-        inputs = [xyz.reshape(n_rays * s, 3), dir_rep, codes_rep]
+        # per-ray (r, C) blocks when the ray tile is sublane-aligned;
+        # otherwise pre-repeat to per-sample rows (Mosaic wants the
+        # second-minor block dim divisible by 8)
+        per_ray_blocks = r % 8 == 0
+        if per_ray_blocks:
+            dir_in, codes_in = dir_pe, codes
+            ray_rows = r
+        else:
+            dir_in = jnp.repeat(dir_pe, s, axis=0)
+            codes_in = jnp.repeat(codes, s, axis=0)
+            ray_rows = rows
+        inputs = [xyz.reshape(n_rays * s, 3), dir_in, codes_in]
         in_specs = [
             pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, dir_pe.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((ray_rows, dir_pe.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, codes.shape[-1]), lambda i: (i, 0),
+            pl.BlockSpec((ray_rows, codes.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
         if use_voxel:
@@ -477,7 +492,7 @@ def make_fused_mlp_op(
             _bwd_kernel,
             cfg=cfg, n_samples=s, n_rays_tile=r, names=names,
             use_voxel=use_voxel, forward_instance=forward_instance,
-            dtype=dtype,
+            per_ray_blocks=per_ray_blocks, dtype=dtype,
         )
         outs = pl.pallas_call(
             kernel,
