@@ -104,6 +104,30 @@ def _dot(a, w, dt):
     )
 
 
+def _rows_from_lanes(x, r: int, s: int, chunk: int = 8):
+    """(r, s) → (r·s, 1): row i·s+j takes x[i, j] (ray-major row layout).
+
+    Mosaic cannot lower a direct (r, s)→(r·s, 1) reshape ("unsupported
+    shape cast" — the lane dimension changes), but it CAN lower the
+    (r, c, C)→(r·c, C) broadcast-reshape (lane dim preserved; same pattern
+    as _broadcast_rows, proven on hardware). So: for each `chunk`-lane
+    window, replicate the window to per-sample rows and select lane
+    pos−j0 on row i·s+j with a static iota mask, lane-reduce, accumulate.
+    Chunking bounds the live temporary at (r·s, chunk) — the full-width
+    variant's (r·s, s) temps blew scoped VMEM at 4096-row tiles."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (r * s, chunk), 0) % s
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r * s, chunk), 1)
+    out = jnp.zeros((r * s, 1), x.dtype)
+    for j0 in range(0, s, chunk):
+        c = min(chunk, s - j0)
+        rows = _broadcast_rows(x[:, j0 : j0 + c], s)  # (r·s, c)
+        sel = jnp.where(
+            lane[:, :c] == pos[:, :c] - j0, rows, jnp.zeros_like(rows)
+        )
+        out = out + jnp.sum(sel, axis=-1, keepdims=True)
+    return out
+
+
 def _broadcast_rows(per_ray, s: int):
     r, c = per_ray.shape
     return jnp.broadcast_to(per_ray[:, None, :], (r, s, c)).reshape(r * s, c)
@@ -457,23 +481,82 @@ def fused_mlp_eval(
 # ---------------------------------------------------------------------------
 
 
-def _composite_weights(sig, dl, r, s):
-    """Alpha-compositing weights over (r, s) lane tiles — the ONE shared
-    implementation behind _render_kernel and _weights_kernel (their pdf
-    parity depends on it). Hillis-Steele inclusive cumprod: jnp.cumprod is
-    not lowerable on TPU Pallas. Math matches ops/compositing.py
-    (alpha = 1-exp(-δ·relu(σ)), transmittance ε=1e-10)."""
-    alphas = 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
+def _alphas_from_sig(sig, dl):
+    """alpha = 1 - exp(-δ·relu(σ)) — σ arrives pre-noised on train paths."""
+    return 1.0 - jnp.exp(-dl * jnp.maximum(sig, 0.0))
+
+
+def _trans_from_alphas(alphas, r, s):
+    """EXCLUSIVE transmittance T_i = Π_{j<i}(1-a_j+ε) over (r, s) lanes.
+    Hillis-Steele inclusive cumprod (jnp.cumprod is not lowerable on TPU
+    Pallas) then a one-lane shift. ε=1e-10 matches ops/compositing.py."""
     x = 1.0 - alphas + 1e-10
     k = 1
     while k < s:
         pad = jnp.ones((r, k), x.dtype)
         x = x * jnp.concatenate([pad, x[:, :-k]], axis=-1)
         k *= 2
-    trans = jnp.concatenate(
+    return jnp.concatenate(
         [jnp.ones((r, 1), jnp.float32), x[:, :-1]], axis=-1
     )
-    return alphas * trans
+
+
+def _composite_weights(sig, dl, r, s):
+    """Alpha-compositing weights over (r, s) lane tiles — the ONE shared
+    implementation behind _render_kernel and _weights_kernel (their pdf
+    parity depends on it). Math matches ops/compositing.py."""
+    alphas = _alphas_from_sig(sig, dl)
+    return alphas * _trans_from_alphas(alphas, r, s)
+
+
+def _suffix_sum_excl(p, r, s):
+    """S_j = Σ_{i>j} p_i along lanes (exclusive suffix sum), Hillis-Steele."""
+    y = p
+    k = 1
+    while k < s:
+        pad = jnp.zeros((r, k), y.dtype)
+        y = y + jnp.concatenate([y[:, k:], pad], axis=-1)
+        k *= 2
+    return y - p
+
+
+def _composite_bwd(
+    d_rgbmap, d_depth, d_op,  # (r, 3), (r, 1), (r, 1) map cotangents
+    alphas, trans, wts,  # (r, s) composite intermediates (post-suppression)
+    z, dl, sig, rgb_rows,  # (r, s), (r, s), (r, s) pre-relu σ(+noise), (rs, 3)
+    r, s,
+    zero_mask=None,  # (r, s) bool — suppressed alphas get zero cotangent
+):
+    """VJP of maps_from(alpha-composite) → (d_sig (r,s), d_rgb_rows (rs,3)).
+
+    w_i = a_i·T_i with T_i = Π_{j<i}(1-a_j+ε):
+      d_w_i  = Σ_c d_rgbmap_c·rgb_ic + d_depth·z_i + d_op
+      d_a_j  = T_j·d_w_j − (Σ_{i>j} a_i·d_w_i·T_i) / (1-a_j+ε)
+      d_σ_j  = d_a_j · δ_j · exp(−δ_j·relu(σ_j)) · [σ_j > 0]
+    (the same division form XLA's derived cumprod gradient uses; T_i
+    carries the (1-a_j+ε) factor for i>j so the ratio stays bounded).
+    rgb cotangent: d_rgb_ic = w_i · d_rgbmap_c.
+    """
+    d_w = d_depth * z + d_op  # (r, s), via broadcast over lanes
+    for c in range(3):
+        d_w = d_w + d_rgbmap[:, c : c + 1] * rgb_rows[:, c].reshape(r, s)
+    suffix = _suffix_sum_excl(alphas * d_w * trans, r, s)
+    # NOT `1.0 - alphas + 1e-10`: XLA reassociates that into
+    # (1.0 + 1e-10) - alphas, which rounds to 1.0 - alphas in f32 and hits
+    # an exact 0 at saturated alphas → inf, then inf·0 = NaN in d_sig. The
+    # max() blocks the constant folding and floors the denominator.
+    den = jnp.maximum(1.0 - alphas, 0.0) + 1e-10
+    d_alpha = trans * d_w - suffix / den
+    if zero_mask is not None:
+        d_alpha = jnp.where(zero_mask, jnp.zeros_like(d_alpha), d_alpha)
+    relu_sig = jnp.maximum(sig, 0.0)
+    d_sig = d_alpha * dl * jnp.exp(-dl * relu_sig)
+    d_sig = jnp.where(sig > 0, d_sig, jnp.zeros_like(d_sig))
+    # d_rgb[row (i,j), c] = w_ij · d_rgbmap_ic: one lane→row relayout of
+    # the weights, then a cheap per-ray broadcast of the map cotangent
+    wts_rows = _rows_from_lanes(wts, r, s)  # (r·s, 1)
+    d_rgb_rows = wts_rows * _broadcast_rows(d_rgbmap, s)
+    return d_sig, d_rgb_rows
 
 
 def _render_kernel(
@@ -486,18 +569,24 @@ def _render_kernel(
     forward_instance: bool,
     last_delta_inf: bool,
     want_weights: bool,
+    train_mode: bool,
+    frustum_bound_th: float,
+    weights_from_instance: bool,
     dtype,
 ):
-    n_data = 5 if use_voxel else 4  # + z_vals
+    n_mlp = 4 if use_voxel else 3
+    n_data = n_mlp + 1 + (3 if train_mode else 0)  # + z (+ noises, pt)
     data_refs = refs[:n_data]
-    z_ref = data_refs[3 if not use_voxel else 4]
+    z_ref = data_refs[n_mlp]
+    if train_mode:
+        noise_s_ref, noise_i_ref, pt_ref = data_refs[n_mlp + 1 : n_mlp + 4]
     n_out = 2 if want_weights else 1
     w = {name: ref[:] for name, ref in zip(names, refs[n_data:-n_out])}
     maps_ref = refs[-n_out]
     weights_ref = refs[-1] if want_weights else None
 
     sigma, rgb, i_sigma, i_rgb = _eval_branches(
-        data_refs[: (4 if use_voxel else 3)], w, cfg, n_samples, use_voxel,
+        data_refs[:n_mlp], w, cfg, n_samples, use_voxel,
         forward_instance, dtype,
     )
 
@@ -507,22 +596,40 @@ def _render_kernel(
     last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
     deltas_scene = jnp.concatenate([deltas, last], axis=-1)
 
-    def composite(sig_flat, rgb_flat, dl):
-        wts = _composite_weights(sig_flat.reshape(r, s), dl, r, s)  # (R, S)
+    def maps_from(wts, rgb_flat):
         opacity = jnp.sum(wts, axis=-1, keepdims=True)
         depth = jnp.sum(wts * z, axis=-1, keepdims=True)
         chans = [
             jnp.sum(wts * rgb_flat[:, c].reshape(r, s), axis=-1, keepdims=True)
             for c in range(3)
         ]
-        return jnp.concatenate(chans + [depth, opacity], axis=-1), wts  # (R,5)
+        return jnp.concatenate(chans + [depth, opacity], axis=-1)  # (R, 5)
 
-    scene_maps, scene_w = composite(sigma[:, 0], rgb, deltas_scene)
+    sig_s = sigma[:, 0].reshape(r, s)
+    if train_mode:
+        sig_s = sig_s + noise_s_ref[:]
+    scene_w = _composite_weights(sig_s, deltas_scene, r, s)
+    scene_maps = maps_from(scene_w, rgb)
     if forward_instance:
         deltas_inst = jnp.concatenate(
             [deltas, jnp.zeros((r, 1), jnp.float32)], axis=-1
         )
-        inst_maps, _ = composite(i_sigma[:, 0], i_rgb, deltas_inst)
+        sig_i = i_sigma[:, 0].reshape(r, s)
+        if train_mode:
+            sig_i = sig_i + noise_i_ref[:]
+        alphas_i = _alphas_from_sig(sig_i, deltas_inst)
+        if train_mode and frustum_bound_th > 0:
+            # occlusion-aware suppression (rendering.py:192-202): object
+            # alphas beyond scene depth + th are zeroed unless the ray is
+            # in the pass-through mask. The mask is piecewise-constant —
+            # no gradient flows through it (matches torch autograd).
+            scene_depth = scene_maps[:, 3:4]
+            occluded = (scene_depth + frustum_bound_th) < z
+            keep = pt_ref[:] > 0.5  # (R, S) 0/1 pass-through mask
+            suppress = jnp.logical_and(occluded, jnp.logical_not(keep))
+            alphas_i = jnp.where(suppress, 0.0, alphas_i)
+        inst_w = alphas_i * _trans_from_alphas(alphas_i, r, s)
+        inst_maps = maps_from(inst_w, i_rgb)
         # instance rgb is always white-backed (rendering.py:221-223)
         i_op = inst_maps[:, 4:5]
         inst_maps = jnp.concatenate(
@@ -534,7 +641,7 @@ def _render_kernel(
         pad = jnp.zeros((r, 11), jnp.float32)
         maps_ref[:] = jnp.concatenate([scene_maps, pad], axis=-1)
     if want_weights:
-        weights_ref[:] = scene_w
+        weights_ref[:] = inst_w if weights_from_instance else scene_w
 
 
 def fused_render_tiles(
@@ -549,6 +656,11 @@ def fused_render_tiles(
     last_delta_inf: bool = True,
     want_weights: bool = False,
     white_back: bool = False,
+    noise_scene: Optional[jnp.ndarray] = None,  # (n_rays, S) train-mode noise
+    noise_inst: Optional[jnp.ndarray] = None,
+    pass_through: Optional[jnp.ndarray] = None,  # (n_rays, S) 0/1 mask
+    frustum_bound_th: float = 0.0,
+    weights_from_instance: bool = False,
     rows_budget: int = 2048,
     dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -557,8 +669,12 @@ def fused_render_tiles(
     VMEM. HBM sees only per-ray inputs/outputs (plus xyz/voxel per sample) —
     the (rays·samples, 8) intermediate of `fused_mlp_eval` never exists.
 
-    Eval-path semantics (no noise, no occlusion suppression — is_eval=True
-    renders in the reference skip both).
+    Eval semantics by default. Passing `noise_scene`/`noise_inst` switches
+    to TRAIN-mode compositing (rendering.py:140-229): sigma noise added
+    pre-relu and, when frustum_bound_th > 0, occlusion-aware instance
+    alpha suppression exempted by `pass_through`. `weights_from_instance`
+    emits the instance weights for the pdf (rays_in_bbox,
+    rendering.py:228-229).
 
     Returns a dict: rgb (n,3), depth (n,), opacity (n,), and when
     forward_instance also rgb_instance/depth_instance/opacity_instance,
@@ -568,6 +684,7 @@ def fused_render_tiles(
     use_voxel = cfg.use_voxel_embedding
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
+    train_mode = noise_scene is not None
 
     r = max(1, rows_budget // s)
     r = min(r, n_rays)
@@ -601,6 +718,17 @@ def fused_render_tiles(
     in_specs.append(
         pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
+    if train_mode:
+        if noise_inst is None:
+            noise_inst = jnp.zeros_like(noise_scene)
+        if pass_through is None:
+            pass_through = jnp.zeros((n_rays, s), jnp.float32)
+        for extra in (noise_scene, noise_inst, pass_through):
+            inputs.append(extra)
+            in_specs.append(
+                pl.BlockSpec((r, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
     inputs.extend(weight_arrays)
     in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays)
 
@@ -614,6 +742,9 @@ def fused_render_tiles(
         forward_instance=forward_instance,
         last_delta_inf=last_delta_inf,
         want_weights=want_weights,
+        train_mode=train_mode,
+        frustum_bound_th=frustum_bound_th,
+        weights_from_instance=weights_from_instance,
         dtype=dtype,
     )
 

@@ -36,6 +36,7 @@ from ..models.mlp import ObjectNeRFConfig, LEAKY_SLOPE
 from .pallas_mlp import (
     prepare_kernel_weights,
     fused_mlp_eval,
+    fused_render_tiles,
     _broadcast_rows,
     _dot,
 )
@@ -72,11 +73,21 @@ def _bwd_kernel(
     use_voxel: bool,
     forward_instance: bool,
     per_ray_blocks: bool,
+    composite_mode: bool = False,
+    last_delta_inf: bool = True,
+    frustum_bound_th: float = 0.0,
     dtype,
 ):
     """Backward over one ray tile.
 
-    Inputs: [xyz, dir_pe, codes, voxel_raw?, g_out(RS,8)] + weights.
+    Inputs: [xyz, dir_pe, codes, voxel_raw?, (z, noise_s, noise_i, pt,)
+    g(…)] + weights. Plain mode: g is the per-sample (RS, 8) MLP-output
+    cotangent computed by XLA. composite_mode: the kernel ALSO owns the
+    alpha-compositing VJP — g is the per-ray (R, 10) MAP cotangent
+    [d_rgb(3), d_depth, d_op, d_irgb(3), d_idepth, d_iop]; the composite
+    forward is recomputed in VMEM (with the train-path sigma noise and
+    occlusion suppression) and _composite_bwd turns map cotangents into
+    per-sample σ/rgb cotangents before the MLP reverse sweep.
     per_ray_blocks: dir_pe/codes arrive as (R, C) per-ray blocks and are
     broadcast to per-sample rows in-kernel (saves the pre-repeated (RS, C)
     HBM round-trip); requires the ray-tile R to be sublane-aligned —
@@ -84,10 +95,13 @@ def _bwd_kernel(
     Outputs: [d_<weight> ...] (accumulated), d_codes (RS, Cc)
              [, d_voxel_raw (RS, C_vox)].
     """
-    n_data = (5 if use_voxel else 4)
+    n_mlp = 4 if use_voxel else 3
+    n_data = n_mlp + (5 if composite_mode else 1)
     data_refs = refs[:n_data]
     xyz_ref, dir_ref, code_ref = data_refs[:3]
     vox_ref = data_refs[3] if use_voxel else None
+    if composite_mode:
+        z_ref, noise_s_ref, noise_i_ref, pt_ref = data_refs[n_mlp : n_mlp + 4]
     g_ref = data_refs[-1]
 
     n_w = len(names)
@@ -146,7 +160,8 @@ def _bwd_kernel(
 
     dir_pe_h = halves(rowify(dir_ref))  # (RS, C_dir)
 
-    g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
+    if not composite_mode:
+        g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
 
     def acc(name, vals):
         @pl.when(first)
@@ -199,7 +214,13 @@ def _bwd_kernel(
             )
             for k in H
         ]
-        return hs_h, hf_h, denc_h, rgb_h
+        sig_h = None
+        if composite_mode:  # composite recompute needs the σ values
+            sig_h = [
+                _dot(h_h[k], w[f"{tag}_sigma_w"], dt) + w[f"{tag}_sigma_b"]
+                for k in H
+            ]
+        return hs_h, hf_h, denc_h, rgb_h, sig_h
 
     def branch_bwd(tag, depth, skips, cat_h, hs_h, hf_h, denc_h, rgb_h,
                    g_sigma_h, g_rgb_h, need_cat_grad):
@@ -266,7 +287,7 @@ def _bwd_kernel(
                          for d in d_pre_h]
         return d_cat_h
 
-    # ---- scene branch ------------------------------------------------------
+    # ---- forward recompute (both branches) --------------------------------
     # concat the feature pieces once per half (bf16, the matmul dtype); the
     # scene cotangent is only needed on the voxel path (svox channels)
     cat_s_h = [
@@ -274,15 +295,9 @@ def _bwd_kernel(
         for k in H
     ]
     n_svox_cols = cfg.N_scn_voxel_size * (1 + 2 * cfg.N_freq_voxel)
-    hs_h, hf_h, denc_h, rgb_h = branch_fwd("s", cfg.D, cfg.skips, cat_s_h)
-    d_cat_s_h = branch_bwd(
-        "s", cfg.D, cfg.skips, cat_s_h, hs_h, hf_h, denc_h, rgb_h,
-        [g[:, 0:1] for g in g_h], [g[:, 1:4] for g in g_h],
-        need_cat_grad=use_voxel,
+    hs_h, hf_h, denc_h, rgb_h, sig_h = branch_fwd(
+        "s", cfg.D, cfg.skips, cat_s_h
     )
-
-    d_codes_rows_h = None
-    d_cat_o_h = None
     c_in_s = cat_s_h[0].shape[-1]
     if forward_instance:
         codes_h = halves(rowify(code_ref))  # (RS, Cc)
@@ -297,13 +312,90 @@ def _bwd_kernel(
             )
             for k in H
         ]
-        hso_h, hfo_h, denco_h, rgbo_h = branch_fwd(
+        hso_h, hfo_h, denco_h, rgbo_h, sigo_h = branch_fwd(
             "o", cfg.inst_D, cfg.inst_skips, cat_o_h
         )
+
+    # ---- per-sample cotangents --------------------------------------------
+    if composite_mode:
+        from .pallas_mlp import (
+            _alphas_from_sig, _composite_bwd, _rows_from_lanes,
+            _trans_from_alphas,
+        )
+
+        r, s = n_rays_tile, n_samples
+        z = z_ref[:]
+        deltas = z[:, 1:] - z[:, :-1]
+        last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
+        dl_s = jnp.concatenate([deltas, last], axis=-1)
+        g_maps = g_ref[:]  # (R, 10)
+
+        # (RS, 1) -> (r, s) via the 1-D slice-then-reshape pattern the
+        # fwd kernel uses (a direct 2-D lane-changing reshape won't lower)
+        sig_s = (
+            jnp.concatenate(sig_h, axis=0)[:, 0].reshape(r, s)
+            + noise_s_ref[:]
+        )
+        rgb_s_rows = jnp.concatenate(rgb_h, axis=0)  # (RS, 3)
+        alphas_s = _alphas_from_sig(sig_s, dl_s)
+        trans_s = _trans_from_alphas(alphas_s, r, s)
+        wts_s = alphas_s * trans_s
+        d_sig_s, d_rgb_s = _composite_bwd(
+            g_maps[:, 0:3], g_maps[:, 3:4], g_maps[:, 4:5],
+            alphas_s, trans_s, wts_s, z, dl_s, sig_s, rgb_s_rows, r, s,
+        )
+        g_sigma_s_h = halves(_rows_from_lanes(d_sig_s, r, s))
+        g_rgb_s_h = halves(d_rgb_s)
+        if forward_instance:
+            dl_i = jnp.concatenate(
+                [deltas, jnp.zeros((r, 1), jnp.float32)], axis=-1
+            )
+            sig_i = (
+                jnp.concatenate(sigo_h, axis=0)[:, 0].reshape(r, s)
+                + noise_i_ref[:]
+            )
+            rgb_i_rows = jnp.concatenate(rgbo_h, axis=0)
+            alphas_i = _alphas_from_sig(sig_i, dl_i)
+            suppress = None
+            if frustum_bound_th > 0:
+                scene_depth = jnp.sum(wts_s * z, axis=-1, keepdims=True)
+                occluded = (scene_depth + frustum_bound_th) < z
+                keep = pt_ref[:] > 0.5
+                suppress = jnp.logical_and(occluded, jnp.logical_not(keep))
+                alphas_i = jnp.where(suppress, 0.0, alphas_i)
+            trans_i = _trans_from_alphas(alphas_i, r, s)
+            wts_i = alphas_i * trans_i
+            # instance maps are white-backed in-kernel: out_rgb = rgb+(1-op)
+            d_irgb = g_maps[:, 5:8]
+            d_iop = g_maps[:, 9:10] - jnp.sum(d_irgb, axis=-1, keepdims=True)
+            d_sig_i, d_rgb_i = _composite_bwd(
+                d_irgb, g_maps[:, 8:9], d_iop,
+                alphas_i, trans_i, wts_i, z, dl_i, sig_i, rgb_i_rows, r, s,
+                zero_mask=suppress,
+            )
+            g_sigma_o_h = halves(_rows_from_lanes(d_sig_i, r, s))
+            g_rgb_o_h = halves(d_rgb_i)
+    else:
+        g_sigma_s_h = [g[:, 0:1] for g in g_h]
+        g_rgb_s_h = [g[:, 1:4] for g in g_h]
+        if forward_instance:
+            g_sigma_o_h = [g[:, 4:5] for g in g_h]
+            g_rgb_o_h = [g[:, 5:8] for g in g_h]
+
+    # ---- reverse sweeps ----------------------------------------------------
+    d_cat_s_h = branch_bwd(
+        "s", cfg.D, cfg.skips, cat_s_h, hs_h, hf_h, denc_h, rgb_h,
+        g_sigma_s_h, g_rgb_s_h,
+        need_cat_grad=use_voxel,
+    )
+
+    d_codes_rows_h = None
+    d_cat_o_h = None
+    if forward_instance:
         d_cat_o_h = branch_bwd(
             "o", cfg.inst_D, cfg.inst_skips, cat_o_h, hso_h, hfo_h,
             denco_h, rgbo_h,
-            [g[:, 4:5] for g in g_h], [g[:, 5:8] for g in g_h],
+            g_sigma_o_h, g_rgb_o_h,
             need_cat_grad=True,  # codes always need their cotangent
         )
         d_codes_rows_h = [
@@ -388,6 +480,141 @@ def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
     return out
 
 
+def _run_bwd(
+    mlp_params, xyz, dir_pe, codes, voxel_raw, g_array,
+    *, cfg, forward_instance, bwd_rows_budget, dtype, interpret,
+    composite=None,
+):
+    """Launch the backward kernel over ray tiles and reassemble gradients.
+
+    Plain mode (composite=None): g_array is the (RS, 8) per-sample MLP
+    output cotangent. composite mode: composite is a dict with z_vals,
+    noise_scene, noise_inst, pass_through ((n, S) each), last_delta_inf,
+    frustum_bound_th — g_array is the (n, 10) per-ray MAP cotangent and
+    the kernel owns the compositing VJP.
+    """
+    use_voxel = cfg.use_voxel_embedding
+    n_rays, s, _ = xyz.shape
+    r = max(1, bwd_rows_budget // s)
+    r = min(r, n_rays)
+    while n_rays % r:
+        r -= 1
+    rows = r * s
+    grid = (n_rays // r,)
+
+    names, weight_arrays = prepare_kernel_weights(
+        mlp_params, cfg, forward_instance
+    )
+
+    # per-ray (r, C) blocks when the ray tile is sublane-aligned;
+    # otherwise pre-repeat to per-sample rows (Mosaic wants the
+    # second-minor block dim divisible by 8)
+    per_ray_blocks = r % 8 == 0
+    if per_ray_blocks:
+        dir_in, codes_in = dir_pe, codes
+        ray_rows = r
+    else:
+        dir_in = jnp.repeat(dir_pe, s, axis=0)
+        codes_in = jnp.repeat(codes, s, axis=0)
+        ray_rows = rows
+    inputs = [xyz.reshape(n_rays * s, 3), dir_in, codes_in]
+    in_specs = [
+        pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((ray_rows, dir_pe.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ray_rows, codes.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_voxel:
+        vox_flat = voxel_raw.reshape(n_rays * s, -1)
+        inputs.append(vox_flat)
+        in_specs.append(
+            pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if composite is not None:
+        for arr in (composite["z_vals"], composite["noise_scene"],
+                    composite["noise_inst"], composite["pass_through"]):
+            inputs.append(arr)
+            in_specs.append(
+                pl.BlockSpec((r, s), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        inputs.append(g_array)  # (n, 10) per-ray map cotangent
+        in_specs.append(
+            pl.BlockSpec((r, 10), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    else:
+        inputs.append(g_array)
+        in_specs.append(
+            pl.BlockSpec((rows, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+    inputs.extend(weight_arrays)
+    in_specs.extend(
+        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays
+    )
+
+    # outputs: weight grads (constant blocks, accumulated) + d_codes
+    # (+ d_voxel_raw)
+    out_shapes = [
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in weight_arrays
+    ]
+    out_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for a in weight_arrays
+    ]
+    out_shapes.append(
+        jax.ShapeDtypeStruct((n_rays * s, codes.shape[-1]), jnp.float32)
+    )
+    out_specs.append(
+        pl.BlockSpec((rows, codes.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    if use_voxel:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_rays * s, vox_flat.shape[-1]),
+                                 jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        cfg=cfg, n_samples=s, n_rays_tile=r, names=names,
+        use_voxel=use_voxel, forward_instance=forward_instance,
+        per_ray_blocks=per_ray_blocks,
+        composite_mode=composite is not None,
+        last_delta_inf=(composite or {}).get("last_delta_inf", True),
+        frustum_bound_th=(composite or {}).get("frustum_bound_th", 0.0),
+        dtype=dtype,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=117 * 1024 * 1024  # v5e has 128 MiB;
+            # the voxel bwd stash at 4096-row tiles needs ~114 MiB
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    n_w = len(weight_arrays)
+    d_params = _grads_to_pytree(cfg, names, outs[:n_w], forward_instance)
+    if not forward_instance:
+        d_params["object"] = jax.tree_util.tree_map(
+            jnp.zeros_like, mlp_params["object"]
+        )
+    # reduce per-sample code grads to per-ray
+    d_codes = jnp.sum(outs[n_w].reshape(n_rays, s, -1), axis=1)
+    d_vox = outs[n_w + 1].reshape(voxel_raw.shape) if use_voxel else None
+    return d_params, d_codes, d_vox
+
+
 @functools.lru_cache(maxsize=32)
 def make_fused_mlp_op(
     cfg: ObjectNeRFConfig,
@@ -414,109 +641,12 @@ def make_fused_mlp_op(
         )
 
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
-        n_rays, s, _ = xyz.shape
-        budget = bwd_rows_budget
-        r = max(1, budget // s)
-        r = min(r, n_rays)
-        while n_rays % r:
-            r -= 1
-        rows = r * s
-        grid = (n_rays // r,)
-
-        names, weight_arrays = prepare_kernel_weights(
-            mlp_params, cfg, forward_instance
-        )
-
-        # per-ray (r, C) blocks when the ray tile is sublane-aligned;
-        # otherwise pre-repeat to per-sample rows (Mosaic wants the
-        # second-minor block dim divisible by 8)
-        per_ray_blocks = r % 8 == 0
-        if per_ray_blocks:
-            dir_in, codes_in = dir_pe, codes
-            ray_rows = r
-        else:
-            dir_in = jnp.repeat(dir_pe, s, axis=0)
-            codes_in = jnp.repeat(codes, s, axis=0)
-            ray_rows = rows
-        inputs = [xyz.reshape(n_rays * s, 3), dir_in, codes_in]
-        in_specs = [
-            pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_rows, dir_pe.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ray_rows, codes.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        if use_voxel:
-            vox_flat = voxel_raw.reshape(n_rays * s, -1)
-            inputs.append(vox_flat)
-            in_specs.append(
-                pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-        inputs.append(g_out)
-        in_specs.append(
-            pl.BlockSpec((rows, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
-        inputs.extend(weight_arrays)
-        in_specs.extend(
-            pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays
-        )
-
-        # outputs: weight grads (constant blocks, accumulated) + d_codes
-        # (+ d_voxel_raw)
-        out_shapes = [
-            jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in weight_arrays
-        ]
-        out_specs = [
-            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for a in weight_arrays
-        ]
-        out_shapes.append(
-            jax.ShapeDtypeStruct((n_rays * s, codes.shape[-1]), jnp.float32)
-        )
-        out_specs.append(
-            pl.BlockSpec((rows, codes.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        if use_voxel:
-            out_shapes.append(
-                jax.ShapeDtypeStruct((n_rays * s, vox_flat.shape[-1]),
-                                     jnp.float32)
-            )
-            out_specs.append(
-                pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-
-        kernel = functools.partial(
-            _bwd_kernel,
-            cfg=cfg, n_samples=s, n_rays_tile=r, names=names,
-            use_voxel=use_voxel, forward_instance=forward_instance,
-            per_ray_blocks=per_ray_blocks, dtype=dtype,
-        )
-        outs = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=117 * 1024 * 1024  # v5e has 128 MiB;
-                # the voxel bwd stash at 4096-row tiles needs ~114 MiB
-            ),
+        return _run_bwd(
+            mlp_params, xyz, dir_pe, codes, voxel_raw, g_out,
+            cfg=cfg, forward_instance=forward_instance,
+            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
             interpret=interpret,
-        )(*inputs)
-
-        n_w = len(weight_arrays)
-        d_params = _grads_to_pytree(cfg, names, outs[:n_w], forward_instance)
-        if not forward_instance:
-            d_params["object"] = jax.tree_util.tree_map(
-                jnp.zeros_like, mlp_params["object"]
-            )
-        # reduce per-sample code grads to per-ray
-        d_codes = jnp.sum(outs[n_w].reshape(n_rays, s, -1), axis=1)
-        d_vox = outs[n_w + 1].reshape(voxel_raw.shape) if use_voxel else None
-        return d_params, d_codes, d_vox
+        )
 
     @jax.custom_vjp
     def op(mlp_params, xyz, dir_pe, codes, voxel_raw):
@@ -545,6 +675,99 @@ def make_fused_mlp_op(
         # sample positions / ray directions never feed trainable params here
         return (d_params, jnp.zeros_like(xyz), jnp.zeros_like(dir_pe),
                 d_codes, d_vox)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+@functools.lru_cache(maxsize=32)
+def make_fused_render_op(
+    cfg: ObjectNeRFConfig,
+    forward_instance: bool,
+    last_delta_inf: bool = True,
+    frustum_bound_th: float = 0.0,
+    weights_from_instance: bool = False,
+    rows_budget: int = 2048,
+    bwd_rows_budget: int = 4096,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Differentiable FULLY-fused train pass: PE → both MLP branches →
+    TRAIN-mode alpha compositing (sigma noise, occlusion suppression,
+    instance white-back), forward AND backward in Pallas. The XLA train
+    step previously autodiffed the compositing over (batch, S) arrays;
+    here the compositing VJP runs inside the backward kernel
+    (_composite_bwd), so HBM never sees per-sample σ/rgb or their
+    cotangents.
+
+    op(mlp_params, xyz (n,S,3), z_vals (n,S), dir_pe (n,Cd), codes (n,Cc),
+       voxel_raw (n,S,Cv)|None, noise_scene (n,S), noise_inst (n,S),
+       pass_through (n,S) 0/1)
+    -> dict(rgb (n,3), depth (n,), opacity (n,) [, rgb_instance,
+            depth_instance, opacity_instance], weights (n,S))
+
+    The `weights` output is for the importance pdf and is defined as
+    stop-gradient (sample_pdf detaches on both sides; its cotangent is
+    ignored). xyz/z/dir/noise cotangents are zeros — none feed trainable
+    parameters in this framework.
+    """
+    use_voxel = cfg.use_voxel_embedding
+
+    def fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+                 noise_s, noise_i, pt):
+        return fused_render_tiles(
+            mlp_params, cfg, xyz, z_vals, dir_pe, obj_codes=codes,
+            voxel_raw=voxel_raw, forward_instance=forward_instance,
+            last_delta_inf=last_delta_inf, want_weights=True,
+            white_back=False,  # scene white-back is the caller's (XLA) op
+            noise_scene=noise_s, noise_inst=noise_i, pass_through=pt,
+            frustum_bound_th=frustum_bound_th,
+            weights_from_instance=weights_from_instance,
+            rows_budget=rows_budget, dtype=dtype, interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def op(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+           noise_s, noise_i, pt):
+        return fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+                        noise_s, noise_i, pt)
+
+    def op_fwd(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+               noise_s, noise_i, pt):
+        out = fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+                       noise_s, noise_i, pt)
+        return out, (mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+                     noise_s, noise_i, pt)
+
+    def op_bwd(res, g):
+        (mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
+         noise_s, noise_i, pt) = res
+        n = z_vals.shape[0]
+        zero1 = jnp.zeros((n, 1), jnp.float32)
+        parts = [g["rgb"], g["depth"].reshape(n, 1),
+                 g["opacity"].reshape(n, 1)]
+        if forward_instance:
+            parts += [g["rgb_instance"], g["depth_instance"].reshape(n, 1),
+                      g["opacity_instance"].reshape(n, 1)]
+        else:
+            parts += [jnp.zeros((n, 3), jnp.float32), zero1, zero1]
+        g_maps = jnp.concatenate(parts, axis=-1)  # (n, 10)
+        # g["weights"] is ignored by design (stop-gradient output)
+        d_params, d_codes, d_vox = _run_bwd(
+            mlp_params, xyz, dir_pe, codes, voxel_raw, g_maps,
+            cfg=cfg, forward_instance=forward_instance,
+            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
+            interpret=interpret,
+            composite=dict(
+                z_vals=z_vals, noise_scene=noise_s, noise_inst=noise_i,
+                pass_through=pt, last_delta_inf=last_delta_inf,
+                frustum_bound_th=frustum_bound_th,
+            ),
+        )
+        return (d_params, jnp.zeros_like(xyz), jnp.zeros_like(z_vals),
+                jnp.zeros_like(dir_pe), d_codes, d_vox,
+                jnp.zeros_like(noise_s), jnp.zeros_like(noise_i),
+                jnp.zeros_like(pt))
 
     op.defvjp(op_fwd, op_bwd)
     return op
