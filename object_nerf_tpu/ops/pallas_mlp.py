@@ -641,7 +641,11 @@ def _render_kernel(
         pad = jnp.zeros((r, 11), jnp.float32)
         maps_ref[:] = jnp.concatenate([scene_maps, pad], axis=-1)
     if want_weights:
-        weights_ref[:] = inst_w if weights_from_instance else scene_w
+        # instance pdf weights need the instance branch; without it the
+        # XLA path keeps scene weights too (rendering.py:228-229 only
+        # swaps inside its forward_instance branch)
+        use_inst = weights_from_instance and forward_instance
+        weights_ref[:] = inst_w if use_inst else scene_w
 
 
 def fused_render_tiles(
@@ -690,6 +694,17 @@ def fused_render_tiles(
     r = min(r, n_rays)
     while n_rays % r:
         r -= 1
+    if train_mode and r % 8:
+        # train mode ships per-ray (r, S) noise/pt blocks; Mosaic wants
+        # the sublane block dim divisible by 8
+        if n_rays % 8:
+            raise ValueError(
+                f"train-mode fused render needs n_rays divisible by 8, "
+                f"got {n_rays}"
+            )
+        r = max(8, (r // 8) * 8)
+        while n_rays % r:
+            r -= 8
     rows = r * s
     grid = (n_rays // r,)
 

@@ -495,10 +495,26 @@ def _run_bwd(
     """
     use_voxel = cfg.use_voxel_embedding
     n_rays, s, _ = xyz.shape
+    if composite is not None:
+        # the composite prologue's relayout temporaries push the backward
+        # stash past v5e VMEM at 4096-row tiles (139-146M of 128M
+        # measured, classical AND voxel) — 3/4 budget fits
+        bwd_rows_budget = (3 * bwd_rows_budget) // 4
     r = max(1, bwd_rows_budget // s)
     r = min(r, n_rays)
     while n_rays % r:
         r -= 1
+    if composite is not None and r % 8:
+        # composite mode ships per-ray (r, S)/(r, 10) blocks with no
+        # pre-repeat fallback; Mosaic wants the sublane block dim
+        # divisible by 8
+        if n_rays % 8:
+            raise ValueError(
+                f"fuse_composite needs n_rays divisible by 8, got {n_rays}"
+            )
+        r = max(8, (r // 8) * 8)
+        while n_rays % r:
+            r -= 8
     rows = r * s
     grid = (n_rays // r,)
 

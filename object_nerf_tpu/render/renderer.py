@@ -84,6 +84,24 @@ class RenderSettings:
 VoxelCtx = Optional[tuple]
 
 
+def _lookup_voxel_raw(settings: RenderSettings, voxel_ctx: VoxelCtx, xyz):
+    """Raw (n, S, C) voxel features for the fused kernels, or None.
+
+    The ONE place the fused paths fetch voxel features (bf16 corner-table
+    gather when the kernels run in bf16) — eval, train, and the fused-MLP
+    op path all share it."""
+    if voxel_ctx is None:
+        return None
+    from ..models.voxel_grid import voxel_lookup_raw
+
+    features, topo, static = voxel_ctx
+    raw, _ = voxel_lookup_raw(
+        features, topo, static, xyz.reshape(-1, 3), trilinear=True,
+        lowp=settings.pallas_dtype == "bfloat16",
+    )
+    return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+
+
 def _embed_points(xyz_flat, settings: RenderSettings, voxel_ctx: VoxelCtx):
     """(emb_xyz (N,C), obj_voxel (N,Cv)|None) — the EmbeddingVoxel.forward /
     classical Embedding split (train.py:45-53)."""
@@ -112,16 +130,8 @@ def _eval_models(
 
     if settings.use_pallas:
         from ..ops.pallas_mlp_vjp import make_fused_mlp_op
-        from ..models.voxel_grid import voxel_lookup_raw
 
-        voxel_raw = None
-        if voxel_ctx is not None:
-            features, topo, static = voxel_ctx
-            raw, _ = voxel_lookup_raw(
-                features, topo, static, xyz.reshape(-1, 3), trilinear=True,
-                lowp=settings.pallas_dtype == "bfloat16",
-            )
-            voxel_raw = raw.reshape(n_rays, n_samp, -1)
+        voxel_raw = _lookup_voxel_raw(settings, voxel_ctx, xyz)
         codes = embedding_instance
         if codes is None:
             codes = jnp.zeros((n_rays, settings.mlp.N_obj_code_length), xyz.dtype)
@@ -213,7 +223,6 @@ def render_rays_fused_eval(
     the final-typ image maps — the shape of results the eval renderer
     actually consumes. Requires perturb=0/noise_std=0 (eval settings)."""
     from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
-    from ..models.voxel_grid import voxel_lookup_raw
 
     assert settings.perturb == 0 and settings.noise_std == 0, (
         "fused render is the deterministic eval path"
@@ -227,14 +236,7 @@ def render_rays_fused_eval(
     dir_pe = freq_encode(rays_d, settings.mlp.N_freq_dir)
 
     def lookup_vox(xyz):
-        if voxel_ctx is None:
-            return None
-        features, topo, static = voxel_ctx
-        raw, _ = voxel_lookup_raw(
-            features, topo, static, xyz.reshape(-1, 3),
-            lowp=settings.pallas_dtype == "bfloat16",
-        )
-        return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+        return _lookup_voxel_raw(settings, voxel_ctx, xyz)
 
     xyz_c = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     kdtype = jnp.dtype(settings.pallas_dtype).type
@@ -304,7 +306,6 @@ def _render_rays_fused(
     VMEM; ops/pallas_mlp_vjp.make_fused_render_op). Bit-matches the XLA
     path's semantics: same key-split schedule, same noise draws, same
     occlusion/white-back rules, same detached importance pdf."""
-    from ..models.voxel_grid import voxel_lookup_raw
     from ..ops.pallas_mlp_vjp import make_fused_render_op
 
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
@@ -332,19 +333,14 @@ def _render_rays_fused(
     op = make_fused_render_op(
         settings.mlp, settings.forward_instance,
         frustum_bound_th=float(th),
-        weights_from_instance=settings.rays_in_bbox,
+        weights_from_instance=(
+            settings.rays_in_bbox and settings.forward_instance
+        ),
         dtype=kdtype, interpret=settings.pallas_interpret,
     )
 
     def lookup_vox(xyz):
-        if voxel_ctx is None:
-            return None
-        features, topo, static = voxel_ctx
-        raw, _ = voxel_lookup_raw(
-            features, topo, static, xyz.reshape(-1, 3),
-            lowp=settings.pallas_dtype == "bfloat16",
-        )
-        return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+        return _lookup_voxel_raw(settings, voxel_ctx, xyz)
 
     def noise(k, s):
         if settings.noise_std > 0:

@@ -182,20 +182,35 @@ def test_fused_train_rays_in_bbox_weights():
     rays = _rays(8)
     codes = lookup_codes(params["code_library"], jnp.zeros((8,), jnp.int32))
     key = jax.random.PRNGKey(3)
-    for use_pallas in (True,):
-        s_bbox = _settings(use_pallas=use_pallas, rays_in_bbox=True,
-                           perturb=0.0, noise_std=0.0)
-        s_ref = _settings(use_pallas=False, rays_in_bbox=True,
-                          perturb=0.0, noise_std=0.0)
-        got = render_rays(params, rays, key, s_bbox,
-                          embedding_instance=codes)
-        ref = render_rays(params, rays, key, s_ref,
-                          embedding_instance=codes)
-        np.testing.assert_allclose(
-            np.asarray(got["weights_coarse"]),
-            np.asarray(ref["weights_coarse"]), rtol=2e-4, atol=1e-6,
-        )
-        np.testing.assert_allclose(
-            np.asarray(got["z_vals_fine"]),
-            np.asarray(ref["z_vals_fine"]), rtol=1e-5, atol=1e-6,
-        )
+    s_bbox = _settings(use_pallas=True, rays_in_bbox=True,
+                       perturb=0.0, noise_std=0.0)
+    s_ref = _settings(use_pallas=False, rays_in_bbox=True,
+                      perturb=0.0, noise_std=0.0)
+    got = render_rays(params, rays, key, s_bbox, embedding_instance=codes)
+    ref = render_rays(params, rays, key, s_ref, embedding_instance=codes)
+    np.testing.assert_allclose(
+        np.asarray(got["weights_coarse"]),
+        np.asarray(ref["weights_coarse"]), rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["z_vals_fine"]),
+        np.asarray(ref["z_vals_fine"]), rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_fused_train_rays_in_bbox_without_instance_branch():
+    """Regression: rays_in_bbox + forward_instance=False must not crash
+    (falls back to scene weights, matching the XLA path's behavior)."""
+    params = _params()
+    rays = _rays(8)
+    key = jax.random.PRNGKey(3)
+    s_fused = _settings(use_pallas=True, rays_in_bbox=True,
+                        forward_instance=False, perturb=0.0, noise_std=0.0)
+    s_ref = _settings(use_pallas=False, rays_in_bbox=True,
+                      forward_instance=False, perturb=0.0, noise_std=0.0)
+    got = render_rays(params, rays, key, s_fused)
+    ref = render_rays(params, rays, key, s_ref)
+    np.testing.assert_allclose(
+        np.asarray(got["rgb_fine"]), np.asarray(ref["rgb_fine"]),
+        rtol=2e-4, atol=1e-5,
+    )
