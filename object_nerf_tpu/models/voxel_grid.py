@@ -148,13 +148,13 @@ def build_voxel_grid(
     pcd_xyz: (N, 3) world-space points (e.g. from read_ply).
     Returns (features (capacity, channels) f32, VoxelTopology, VoxelStatic).
 
-    auto_capacity: size the feature table to ~10× the occupied count
+    auto_capacity: size the feature table to ~9× the occupied count
     (rounded to a power of two, capped by n_max_voxels) instead of always
     n_max_voxels. The reference always allocates the full 800k×24 table
     (default_conf.yml:36); on TPU the table size directly scales the cost
     of the row gathers and of the scatter-add in the feature-gradient
-    (measured 2.5× train-step speedup on a small scene). 10× slack covers
-    the one 8× subdivision of progressive training.
+    (measured 2.5× train-step speedup on a small scene). 9× slack covers
+    the one 8× subdivision of progressive training with 12.5% headroom.
     """
     pts = (np.asarray(pcd_xyz, np.float64) - np.asarray(scene_center)) / scale_factor
     voxel_size = voxel_size_world / scale_factor

@@ -438,7 +438,11 @@ class ObjectNeRFSystem:
         jax.profiler trace of the first post-compile steps;
         `train.nan_guard` (default on) aborts with a clear message if the
         loss goes non-finite (the reference has no equivalent — NaNs there
-        poison training silently)."""
+        poison training silently). The guard is checked every
+        `train.nan_check_every` steps (default 50) INDEPENDENT of any
+        validation dataset — a val-less run still aborts within one check
+        window. Each check is one host fetch of an already-computed device
+        scalar, so the async dispatch pipeline only syncs at that cadence."""
         import time
 
         callbacks = callbacks or []
@@ -448,6 +452,16 @@ class ObjectNeRFSystem:
         val_every = float(self.config.train.get("val_check_interval", 0.25))
         val_interval = max(1, int(self.steps_per_epoch * val_every))
         nan_guard = bool(self.config.train.get("nan_guard", True))
+        nan_check_every = max(
+            1, int(self.config.train.get("nan_check_every", 50))
+        )
+
+        def _check_finite(loss_value, epoch, it):
+            if nan_guard and not np.isfinite(float(loss_value)):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} it {it} — lower "
+                    f"train.lr or enable model.noise_std"
+                )
         profile_dir = self.config.get("tpu", {}).get("profile_dir")
         profile_steps = int(self.config.get("tpu", {}).get("profile_steps", 5))
         profiling = False
@@ -469,15 +483,14 @@ class ObjectNeRFSystem:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"profiler trace written to {profile_dir}")
+                if global_it % nan_check_every == 0:
+                    _check_finite(
+                        jax.device_get(metrics["train/loss"]), epoch, it
+                    )
                 if (it + 1) % val_interval == 0 and self.val_dataset is not None:
                     val_metrics, _ = self.validation()
                     metrics = {**jax.device_get(metrics), **val_metrics}
-                    if nan_guard and not np.isfinite(metrics["train/loss"]):
-                        raise FloatingPointError(
-                            f"non-finite loss at epoch {epoch} it {it}: "
-                            f"{metrics} — lower train.lr or enable "
-                            f"model.noise_std"
-                        )
+                    _check_finite(metrics["train/loss"], epoch, it)
                     history.append(metrics)
                     for cb in callbacks:
                         cb(epoch, it, metrics, self)

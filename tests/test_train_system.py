@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from object_nerf_tpu.config import load_config
 from object_nerf_tpu.data.synthetic import SyntheticDataset
@@ -87,6 +88,37 @@ def test_rays_in_bbox_reaches_render_settings():
     assert system.eval_settings.rays_in_bbox is True
     plain = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
     assert plain.settings.rays_in_bbox is False
+
+
+def test_nan_guard_aborts_without_val_dataset():
+    """A poisoned batch must abort fit() within nan_check_every steps even
+    when NO validation dataset exists (the guard used to live only inside
+    the val branch — exactly how bench.py and dryrun_multichip construct
+    systems)."""
+    cfg = _tiny_config()
+    cfg.model.merge(dict(N_samples=8, N_importance=4))
+    cfg.train.merge(dict(batch_size=128, num_epochs=1, nan_check_every=2))
+    ds = SyntheticDataset("train", img_wh=(40, 30), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+
+    class Poisoned:
+        def __init__(self, base):
+            self._base = base
+
+        def __getattr__(self, name):
+            return getattr(self._base, name)
+
+        def __len__(self):
+            return len(self._base)
+
+        def sample_batch(self, n, rng=None):
+            b = self._base.sample_batch(n, rng)
+            b["rgbs"] = np.full_like(b["rgbs"], np.nan)
+            return b
+
+    system = ObjectNeRFSystem(cfg, dataset=Poisoned(ds), val_dataset=None)
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        system.fit()
 
 
 def test_batch_is_sharded_over_mesh():
