@@ -56,23 +56,64 @@ from ..models.mlp import ObjectNeRFConfig, LEAKY_SLOPE
 # ---------------------------------------------------------------------------
 
 
-def pe_sin_matrix(c_in: int, n_freqs: int) -> Tuple[np.ndarray, np.ndarray]:
+TWO_PI = 2.0 * np.pi
+
+
+def pe_sin_matrix(
+    c_in: int, n_freqs: int, turns: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
     """(S, phase): sin(x @ S + phase) == the sin/cos tail of the PE.
 
     S: (c_in, 2*n_freqs*c_in); columns ordered [sin f0 (c_in), cos f0 (c_in),
     sin f1, ...] to match models/embedding.py. cos(t) = sin(t + π/2).
+
+    turns=True prescales S and phase by 1/(2π) so the pre-activation is in
+    TURNS and the kernel evaluates `_sin_turns` (round-reduce + polynomial)
+    instead of Mosaic's ~5× costlier builtin sin — the bf16 fast path
+    (measured: the builtin sin was the entire voxel-PE overhead; the
+    matmuls are nearly free).
     """
     cols = 2 * n_freqs * c_in
     S = np.zeros((c_in, cols), np.float32)
     phase = np.zeros((1, cols), np.float32)
+    quarter = 0.25 if turns else np.pi / 2
     for k in range(n_freqs):
-        f = 2.0**k
+        f = 2.0**k / (TWO_PI if turns else 1.0)
         base = 2 * k * c_in
         for c in range(c_in):
             S[c, base + c] = f  # sin block
             S[c, base + c_in + c] = f  # cos block
-            phase[0, base + c_in + c] = np.pi / 2
+            phase[0, base + c_in + c] = quarter
     return S, phase
+
+
+def pe_uses_turns(dtype) -> bool:
+    """Poly-sin PE is the bf16 fast path: its ~1e-5 abs error (reduction
+    rounding at the highest 2^9 frequency dominates; the polynomial itself
+    is ~1e-7) sits far below the bf16 quantization the activations get
+    immediately after. f32 kernels keep the exact builtin sin so interpret-
+    mode parity tests stay bit-faithful to the XLA path."""
+    return jnp.dtype(dtype) == jnp.bfloat16
+
+
+def _sin_turns(u):
+    """sin(2π·u): one round+sub range reduction (u already in turns — the
+    1/(2π) lives in the prescaled PE matrix) + degree-11 odd minimax
+    polynomial on [-0.5, 0.5], max abs error 9.7e-8."""
+    z = u - jnp.round(u)
+    w = z * z
+    p = jnp.float32(-12.27205003)
+    p = p * w + 41.20590088
+    p = p * w - 76.58021788
+    p = p * w + 81.59619567
+    p = p * w - 41.34142188
+    p = p * w + 6.28318282
+    return p * z
+
+
+def _cos_turns(u):
+    """cos(2π·u) = sin(2π·(u + 1/4))."""
+    return _sin_turns(u + 0.25)
 
 
 def _split_rows(w: jnp.ndarray, sizes: Sequence[int]) -> List[jnp.ndarray]:
@@ -167,8 +208,10 @@ def _eval_branches(
     def halves(x):
         return [x[k * blk : (k + 1) * blk] for k in range(n_half)]
 
+    sinf = _sin_turns if pe_uses_turns(dt) else jnp.sin
+
     def pe(x, sname, pname):
-        return jnp.sin(_dot(x, w[sname], jnp.float32) + w[pname])
+        return sinf(_dot(x, w[sname], jnp.float32) + w[pname])
 
     xyz_h = halves(xyz)
     xyz_sin_h = [pe(x, "pe_xyz_S", "pe_xyz_phase") for x in xyz_h]
@@ -319,28 +362,34 @@ def prepare_kernel_weights(
     cfg: ObjectNeRFConfig,
     forward_instance: bool,
     sigma_only: bool = False,
+    dtype=jnp.bfloat16,
 ) -> Tuple[Tuple[str, ...], List[jnp.ndarray]]:
     """Flatten + split one ObjectNeRF param pytree for the fused kernel.
 
     sigma_only keeps just the scene trunk + sigma head (coarse-pass pdf
     weights): the rgb/dir head weights and the instance branch never reach
-    the kernel."""
+    the kernel. `dtype` must match the kernel's matmul dtype: in bf16 mode
+    the PE matrices are turns-prescaled for the poly-sin fast path
+    (pe_uses_turns)."""
     names: List[str] = []
     arrays: List[jnp.ndarray] = []
+    turns = pe_uses_turns(dtype)
 
     def add(name, arr):
         names.append(name)
         arrays.append(arr)
 
-    S, phase = pe_sin_matrix(3, cfg.N_freq_xyz)
+    S, phase = pe_sin_matrix(3, cfg.N_freq_xyz, turns=turns)
     add("pe_xyz_S", jnp.asarray(S))
     add("pe_xyz_phase", jnp.asarray(phase))
     if cfg.use_voxel_embedding:
-        S, phase = pe_sin_matrix(cfg.N_scn_voxel_size, cfg.N_freq_voxel)
+        S, phase = pe_sin_matrix(cfg.N_scn_voxel_size, cfg.N_freq_voxel,
+                                 turns=turns)
         add("pe_svox_S", jnp.asarray(S))
         add("pe_svox_phase", jnp.asarray(phase))
         if forward_instance:
-            S, phase = pe_sin_matrix(cfg.N_obj_voxel_size, cfg.N_freq_voxel)
+            S, phase = pe_sin_matrix(cfg.N_obj_voxel_size, cfg.N_freq_voxel,
+                                     turns=turns)
             add("pe_ivox_S", jnp.asarray(S))
             add("pe_ivox_phase", jnp.asarray(phase))
 
@@ -398,6 +447,7 @@ def fused_mlp_eval(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     rows_budget: int = 2048,
+    vmem_limit_mb: int = 100,
 ):
     """Evaluate both branches over all rays×samples in one fused kernel.
 
@@ -426,7 +476,7 @@ def fused_mlp_eval(
     grid = (n_rays // r,)
 
     names, weight_arrays = prepare_kernel_weights(
-        mlp_params, cfg, forward_instance
+        mlp_params, cfg, forward_instance, dtype=dtype
     )
     if obj_codes is None:
         obj_codes = jnp.zeros((n_rays, cfg.N_obj_code_length), xyz.dtype)
@@ -467,7 +517,7 @@ def fused_mlp_eval(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rays * s, 8), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024  # v5e has 128 MiB VMEM
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*inputs)
@@ -668,6 +718,7 @@ def fused_render_tiles(
     rows_budget: int = 2048,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    vmem_limit_mb: int = 100,
 ):
     """One fused pass: PE → both MLP branches → alpha compositing, all in
     VMEM. HBM sees only per-ray inputs/outputs (plus xyz/voxel per sample) —
@@ -709,7 +760,7 @@ def fused_render_tiles(
     grid = (n_rays // r,)
 
     names, weight_arrays = prepare_kernel_weights(
-        mlp_params, cfg, forward_instance
+        mlp_params, cfg, forward_instance, dtype=dtype
     )
     if obj_codes is None:
         obj_codes = jnp.zeros((n_rays, cfg.N_obj_code_length), xyz.dtype)
@@ -780,7 +831,7 @@ def fused_render_tiles(
         out_specs=out_specs if want_weights else out_specs[0],
         out_shape=out_shapes if want_weights else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*inputs)
@@ -846,6 +897,7 @@ def fused_coarse_weights(
     rows_budget: int = 2048,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    vmem_limit_mb: int = 100,
 ) -> jnp.ndarray:
     """Coarse-pass pdf weights only: scene trunk + sigma head + compositing
     scan, fused in VMEM. The eval renderer discards every other coarse
@@ -869,7 +921,8 @@ def fused_coarse_weights(
     grid = (n_rays // r,)
 
     names, weight_arrays = prepare_kernel_weights(
-        mlp_params, cfg, forward_instance=False, sigma_only=True
+        mlp_params, cfg, forward_instance=False, sigma_only=True,
+        dtype=dtype,
     )
 
     inputs = [xyz.reshape(n_rays * s, 3)]
@@ -908,7 +961,7 @@ def fused_coarse_weights(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_rays, s), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*inputs)

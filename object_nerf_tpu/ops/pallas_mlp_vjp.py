@@ -37,8 +37,12 @@ from .pallas_mlp import (
     prepare_kernel_weights,
     fused_mlp_eval,
     fused_render_tiles,
+    pe_uses_turns,
+    TWO_PI,
     _broadcast_rows,
+    _cos_turns,
     _dot,
+    _sin_turns,
 )
 
 
@@ -127,10 +131,18 @@ def _bwd_kernel(
         return [x[k * blk : (k + 1) * blk] for k in H]
 
     # ---- recompute forward, stashing activations (per half) --------------
+    # poly-sin fast path in bf16 mode (pe_uses_turns): PE matrices arrive
+    # turns-prescaled, so the cos in the PE backward carries the 2π chain
+    # factor the prescale removed from S
+    if pe_uses_turns(dt):
+        sinf = _sin_turns
+        cosf = lambda p: _cos_turns(p) * TWO_PI  # noqa: E731
+    else:
+        sinf, cosf = jnp.sin, jnp.cos
     xyz_h = halves(xyz_ref[:])
     pre_xyz_h = [_dot(x, w["pe_xyz_S"], jnp.float32) + w["pe_xyz_phase"]
                  for x in xyz_h]
-    xyz_sin_h = [jnp.sin(p) for p in pre_xyz_h]
+    xyz_sin_h = [sinf(p) for p in pre_xyz_h]
     if use_voxel:
         raw_h = halves(vox_ref[:])
         svox_h = [raw[:, : cfg.N_scn_voxel_size] for raw in raw_h]
@@ -139,7 +151,7 @@ def _bwd_kernel(
             _dot(x, w["pe_svox_S"], jnp.float32) + w["pe_svox_phase"]
             for x in svox_h
         ]
-        svox_sin_h = [jnp.sin(p) for p in pre_svox_h]
+        svox_sin_h = [sinf(p) for p in pre_svox_h]
         if forward_instance:
             # the ivox PE only exists (prepare_kernel_weights) and is only
             # consumed when the instance branch runs
@@ -147,7 +159,7 @@ def _bwd_kernel(
                 _dot(x, w["pe_ivox_S"], jnp.float32) + w["pe_ivox_phase"]
                 for x in ivox_h
             ]
-            ivox_sin_h = [jnp.sin(p) for p in pre_ivox_h]
+            ivox_sin_h = [sinf(p) for p in pre_ivox_h]
         feat_pieces_h = [
             [svox_h[k], svox_sin_h[k], xyz_h[k], xyz_sin_h[k]] for k in H
         ]
@@ -420,7 +432,7 @@ def _bwd_kernel(
         d_vox_parts = []
         for k in H:
             d_svox = d_cat_s_h[k][:, :nsv] + _dot_nt(
-                d_cat_s_h[k][:, nsv:n_svox_cols] * jnp.cos(pre_svox_h[k]),
+                d_cat_s_h[k][:, nsv:n_svox_cols] * cosf(pre_svox_h[k]),
                 w["pe_svox_S"], jnp.float32,
             )
             if forward_instance:
@@ -429,7 +441,7 @@ def _bwd_kernel(
                     :, c_in_s + nov : c_in_s + nov * (1 + 2 * cfg.N_freq_voxel)
                 ]
                 d_ivox_full = d_ivox + _dot_nt(
-                    d_ivox_sin * jnp.cos(pre_ivox_h[k]), w["pe_ivox_S"],
+                    d_ivox_sin * cosf(pre_ivox_h[k]), w["pe_ivox_S"],
                     jnp.float32,
                 )
             else:
@@ -519,7 +531,7 @@ def _run_bwd(
     grid = (n_rays // r,)
 
     names, weight_arrays = prepare_kernel_weights(
-        mlp_params, cfg, forward_instance
+        mlp_params, cfg, forward_instance, dtype=dtype
     )
 
     # per-ray (r, C) blocks when the ray tile is sublane-aligned;
