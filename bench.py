@@ -79,6 +79,95 @@ def _bench_train_step(cfg, use_voxel=False):
         return 2048 / ((time.perf_counter() - t0) / 20)
 
 
+def _frame_rays(near=0.5, far=4.0, origin=(0.0, 0.0, 0.0)):
+    n = W * H
+    rng = np.random.RandomState(0)
+    o = np.tile(np.asarray(origin, np.float32), (n, 1))
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    nearc = np.full((n, 1), near, np.float32)
+    farc = np.full((n, 1), far, np.float32)
+    return jnp.asarray(np.concatenate([o, d, nearc, farc], -1))
+
+
+def _time_frames(frame_fn):
+    frame_fn()  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        frame_fn()
+    return (time.perf_counter() - t0) / ITERS
+
+
+def _bench_voxel_render(cfg):
+    """Voxel-conditioned eval render — the paper's headline configuration
+    (reference default_conf.yml:8 sets use_voxel_embedding true; the voxel
+    embedding is the paper's differentiator, embedding_helper.py:325-409).
+
+    The grid is synthetic but ScanNet-SCALE: a 6×6×2.5 m room shell
+    (floor + 4 walls + 2 objects) at the reference's 0.1 m ScanNet voxel
+    size with neighbor_marks=3 dilation — cell count and occupied-voxel
+    count in the range of a real ScanNet scene, so the corner-table size,
+    gather traffic, and table capacity all match real-use costs. Rays are
+    bounded so samples land inside the grid.
+    """
+    import tempfile
+
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.train.system import init_params, make_render_fn
+    from object_nerf_tpu.models import voxel_grid as vg
+    from object_nerf_tpu.data.ply_io import write_ply
+
+    cfg = cfg.copy()
+    cfg.model.use_voxel_embedding = True
+    cfg.dataset_extra.merge(dict(scale_factor=2.5,
+                                 scene_center=[0.0, 0.0, 1.25],
+                                 voxel_size=0.1, neighbor_marks=3))
+
+    rng = np.random.RandomState(0)
+    pts = []
+    # floor + walls of a 6 × 6 × 2.5 m room (world units)
+    f = rng.rand(60000, 3).astype(np.float32)
+    pts.append(f * [6.0, 6.0, 0.0] - [3.0, 3.0, 0.0])
+    for ax, sgn in ((0, -3.0), (0, 3.0), (1, -3.0), (1, 3.0)):
+        wpts = rng.rand(25000, 3).astype(np.float32) * [6.0, 6.0, 2.5]
+        wpts[:, :2] -= 3.0
+        wpts[:, ax] = sgn
+        pts.append(wpts)
+    for c, r in ([[0.8, 0.0, 0.6], 0.6], [[-0.9, 0.5, 0.45], 0.45]):
+        d = rng.randn(20000, 3)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pts.append((np.asarray(c) + r * d).astype(np.float32))
+    pcd = np.concatenate(pts)
+
+    use_pallas = jax.default_backend() == "tpu"
+    settings = RenderSettings.from_config(cfg, is_eval=True,
+                                          use_pallas=use_pallas)
+    features, topo, static = vg.build_voxel_grid_from_config(
+        pcd, cfg, key=jax.random.PRNGKey(2)
+    )
+    params = jax.device_put(
+        init_params(jax.random.PRNGKey(0), settings, cfg.model, features)
+    )
+    print(
+        f"[bench] voxel grid: shape={static.shape} "
+        f"occupied={int(topo.n_occupied)} capacity={static.n_max_voxels}",
+        file=sys.stderr,
+    )
+
+    # rays stay inside the normalized room: origin mid-room, far = room diag
+    rays = _frame_rays(near=0.05, far=2.4, origin=(0.0, 0.0, 0.0))
+    ids = jnp.zeros((W * H,), jnp.int32)
+    key = jax.random.PRNGKey(1)
+    render = make_render_fn(settings, static, CHUNK)
+
+    def frame():
+        out = render(params, rays, key, ids, topo)
+        return float(np.asarray(out["rgb_fine"][0].sum()))
+
+    dt = _time_frames(frame)
+    return W * H / dt
+
+
 def main():
     from object_nerf_tpu.config import load_config
     from object_nerf_tpu.render.renderer import RenderSettings
@@ -93,13 +182,7 @@ def main():
     params = jax.device_put(params)
 
     n = W * H
-    rng = np.random.RandomState(0)
-    o = np.zeros((n, 3), np.float32)
-    d = rng.randn(n, 3).astype(np.float32)
-    d /= np.linalg.norm(d, axis=-1, keepdims=True)
-    near = np.full((n, 1), 0.5, np.float32)
-    far = np.full((n, 1), 4.0, np.float32)
-    rays = jnp.asarray(np.concatenate([o, d, near, far], -1))
+    rays = _frame_rays()
     ids = jnp.zeros((n,), jnp.int32)
     key = jax.random.PRNGKey(1)
 
@@ -111,11 +194,7 @@ def main():
         # is asynchronous on the axon tunnel platform)
         return float(np.asarray(out["rgb_fine"][0].sum()))
 
-    frame()  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        frame()
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = _time_frames(frame)
 
     rays_per_sec = n / dt
     print(
@@ -124,8 +203,17 @@ def main():
         file=sys.stderr,
     )
 
-    # secondary metrics: training throughput, classical + voxel-conditioned
+    # secondary metrics: voxel-conditioned render + training throughput
     extras = {}
+    try:
+        vrender_rps = _bench_voxel_render(cfg)
+        extras["voxel_render_rays_per_sec"] = round(vrender_rps, 1)
+        print(
+            f"[bench] voxel render {W}x{H} (64+64, ScanNet-scale grid): "
+            f"{vrender_rps:,.0f} rays/s", file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] voxel render bench skipped: {e}", file=sys.stderr)
     try:
         train_rps = _bench_train_step(cfg)
         extras["train_rays_per_sec"] = round(train_rps, 1)

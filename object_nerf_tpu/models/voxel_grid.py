@@ -38,7 +38,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
@@ -394,12 +394,26 @@ def _cell_corner_table(features, topo, static):
     return jnp.concatenate(parts, axis=-1).reshape(-1, 8 * C)
 
 
+def make_corner_table(features, topo, static: VoxelStatic, lowp: bool = False):
+    """Materialize the ((X+1)·(Y+1)·(Z+1), 8·C) corner table once.
+
+    Eval renderers call this ONE time per frame and thread the result
+    through every chunk program (`voxel_lookup_dense(..., ct=...)`): the
+    features don't change within a frame, so rebuilding the table (scatter
+    + pad + 8-view concat + f32→bf16 cast) inside each of the ~40 chunk
+    programs is pure waste. Not for training paths — the prebuilt table is
+    outside the grad graph."""
+    ct = _cell_corner_table(features, topo, static)
+    return ct.astype(jnp.bfloat16) if lowp else ct
+
+
 def voxel_lookup_dense(
     features: jnp.ndarray,
     topo: VoxelTopology,
     static: VoxelStatic,
     xyz: jnp.ndarray,  # (N, 3) normalized coords
     lowp: bool = False,
+    ct: Optional[jnp.ndarray] = None,
 ):
     """Trilinear lookup via the corner table: ONE row gather per sample.
 
@@ -411,9 +425,11 @@ def voxel_lookup_dense(
     batch. The gradient path reuses _take_rows' segment-sum VJP; empty and
     out-of-bounds corners read zero PAD rows, so no gradient ever reaches
     rows outside the live table (reference masking semantics preserved).
+
+    ct: a prebuilt table from `make_corner_table` (eval-only fast path —
+    skips the in-program build and carries no feature gradient).
     """
     X, Y, Z = static.shape
-    ct = _cell_corner_table(features, topo, static)
     xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
     base = jnp.floor(xyz_scaled)
     q0 = base.astype(jnp.int32)
@@ -421,8 +437,11 @@ def voxel_lookup_dense(
     sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
     pb = jnp.clip(q0 + 1, 0, shape)  # padded-frame base cell
     flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
-    take = _take_rows_bf16 if lowp else _take_rows
-    rows = take(ct, flat)  # (N, 8·C)
+    if ct is None:
+        take = _take_rows_bf16 if lowp else _take_rows
+        rows = take(_cell_corner_table(features, topo, static), flat)
+    else:
+        rows = jnp.take(ct, flat, axis=0)  # (N, 8·C)
     wts = _trilinear_weights(xyz_scaled - base)  # (N, 8)
     out = jnp.sum(
         rows.reshape(-1, 8, static.channels).astype(jnp.float32)
@@ -445,6 +464,7 @@ def voxel_lookup_raw(
     xyz: jnp.ndarray,  # (N, 3) normalized coords
     trilinear: bool = True,
     lowp: bool = False,
+    ct: Optional[jnp.ndarray] = None,
 ):
     """Raw (un-encoded) voxel features at xyz. Returns (ftr (N, C), invalid).
 
@@ -458,15 +478,17 @@ def voxel_lookup_raw(
 
     lowp gathers the corner table in bf16 (the fused-kernel training path,
     where the features feed bf16 matmuls anyway); the table gradient stays
-    f32 (see _take_rows_bf16).
+    f32 (see _take_rows_bf16). `ct` is a prebuilt `make_corner_table`
+    (eval-only; implies the dense path).
     """
     xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
     if not trilinear:
         q = jnp.round(xyz_scaled).astype(jnp.int32)
         return _gather_rows(features, topo, static, q)
 
-    if _dense_path_ok(static):
-        return voxel_lookup_dense(features, topo, static, xyz, lowp=lowp)
+    if ct is not None or _dense_path_ok(static):
+        return voxel_lookup_dense(features, topo, static, xyz, lowp=lowp,
+                                  ct=ct)
 
     base = jnp.floor(xyz_scaled)
     q0 = base.astype(jnp.int32)
@@ -486,12 +508,14 @@ def voxel_embed(
     static: VoxelStatic,
     xyz: jnp.ndarray,
     n_freq_xyz: int = 10,
+    ct: Optional[jnp.ndarray] = None,
 ):
     """The full EmbeddingVoxel.forward (embedding_helper.py:325-329):
 
     returns (emb_xyz = [PE(scene_ftr), PE(xyz)], obj_voxel = PE(inst_ftr)).
     """
-    raw, _ = voxel_lookup_raw(features, topo, static, xyz, trilinear=True)
+    raw, _ = voxel_lookup_raw(features, topo, static, xyz, trilinear=True,
+                              ct=ct)
     scene_x = raw[:, : static.scene_channels]
     inst_x = raw[:, static.scene_channels :]
     scene_emb = freq_encode(scene_x, static.n_freq_voxel)

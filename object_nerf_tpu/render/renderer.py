@@ -80,7 +80,10 @@ class RenderSettings:
         return cls(**kw)
 
 
-# Voxel context: (features, topology, static) or None for classical PE.
+# Voxel context: (features, topology, static[, corner_table]) or None for
+# classical PE. The optional 4th element is a prebuilt eval-only corner
+# table (models/voxel_grid.make_corner_table) hoisted out of per-chunk
+# programs by make_render_fn.
 VoxelCtx = Optional[tuple]
 
 
@@ -94,10 +97,11 @@ def _lookup_voxel_raw(settings: RenderSettings, voxel_ctx: VoxelCtx, xyz):
         return None
     from ..models.voxel_grid import voxel_lookup_raw
 
-    features, topo, static = voxel_ctx
+    features, topo, static = voxel_ctx[:3]
+    ct = voxel_ctx[3] if len(voxel_ctx) > 3 else None
     raw, _ = voxel_lookup_raw(
         features, topo, static, xyz.reshape(-1, 3), trilinear=True,
-        lowp=settings.pallas_dtype == "bfloat16",
+        lowp=settings.pallas_dtype == "bfloat16", ct=ct,
     )
     return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
 
@@ -109,9 +113,11 @@ def _embed_points(xyz_flat, settings: RenderSettings, voxel_ctx: VoxelCtx):
         return freq_encode(xyz_flat, settings.mlp.N_freq_xyz), None
     from ..models.voxel_grid import voxel_embed
 
-    features, topo, static = voxel_ctx
+    features, topo, static = voxel_ctx[:3]
+    ct = voxel_ctx[3] if len(voxel_ctx) > 3 else None
     return voxel_embed(
-        features, topo, static, xyz_flat, n_freq_xyz=settings.mlp.N_freq_xyz
+        features, topo, static, xyz_flat, n_freq_xyz=settings.mlp.N_freq_xyz,
+        ct=ct,
     )
 
 
@@ -290,6 +296,101 @@ def render_rays_fused_eval(
         results[f"depth_instance_{typ}"] = out["depth_instance"]
         results[f"opacity_instance_{typ}"] = out["opacity_instance"]
     return results
+
+
+def make_fused_eval_stages(settings: RenderSettings, voxel_static):
+    """The voxel eval chunk renderer as SEPARATE jitted programs: gather
+    stages isolated from Pallas-kernel stages.
+
+    Measured on v5e: a corner-table row gather inside the same XLA program
+    as a large-VMEM Pallas call runs 2-4× slower than standalone (the
+    gather's scoped-VMEM staging competes with the kernel's budget;
+    optimization_barrier does not help). Splitting the chunk into
+    [lookup_c] → [coarse kernel + pdf glue] → [lookup_f] → [fine kernel]
+    programs dispatched back-to-back restores standalone gather speed:
+    71 → 32 ms per 7680-ray chunk. Host dispatch (~1 ms/program) overlaps
+    device work in the async chunk pipeline.
+
+    Returns render_chunk(params, rays, codes, voxel_topo, ct) -> final-typ
+    maps (same contract as render_rays_fused_eval with a voxel ctx).
+    """
+    from ..models.voxel_grid import voxel_lookup_dense
+    from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
+
+    assert settings.perturb == 0 and settings.noise_std == 0, (
+        "fused render is the deterministic eval path"
+    )
+    mlp = settings.mlp
+    kdtype = jnp.dtype(settings.pallas_dtype).type
+    lowp = settings.pallas_dtype == "bfloat16"
+
+    def lookup(voxel_topo, ct, xyz):
+        raw, _ = voxel_lookup_dense(
+            None, voxel_topo, voxel_static, xyz.reshape(-1, 3), lowp=lowp,
+            ct=ct,
+        )
+        return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+
+    @jax.jit
+    def stage_coarse_lookup(rays, voxel_topo, ct):
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        z_vals = stratified_sample(None, near, far, settings.N_samples,
+                                   settings.use_disp, 0.0)
+        xyz = rays[:, None, 0:3] + rays[:, None, 3:6] * z_vals[..., None]
+        return z_vals, xyz, lookup(voxel_topo, ct, xyz)
+
+    @jax.jit
+    def stage_coarse_kernel(params, rays, z_vals, xyz_c, vox_c):
+        weights = fused_coarse_weights(
+            params["coarse"], mlp, xyz_c, z_vals, voxel_raw=vox_c,
+            dtype=kdtype, interpret=settings.pallas_interpret,
+        )
+        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        z_fine = sample_pdf(None, z_mid, weights[:, 1:-1],
+                            settings.N_importance, det=True)
+        z_all = merge_z_vals(z_vals, z_fine)
+        xyz_f = rays[:, None, 0:3] + rays[:, None, 3:6] * z_all[..., None]
+        return z_all, xyz_f
+
+    @jax.jit
+    def stage_fine_lookup(xyz_f, voxel_topo, ct):
+        return lookup(voxel_topo, ct, xyz_f)
+
+    @jax.jit
+    def stage_render_kernel(mlp_params, rays, z, xyz, vox, codes):
+        dir_pe = freq_encode(rays[:, 3:6], mlp.N_freq_dir)
+        return fused_render_tiles(
+            mlp_params, mlp, xyz, z, dir_pe, obj_codes=codes,
+            voxel_raw=vox, forward_instance=settings.forward_instance,
+            want_weights=False, white_back=settings.white_back,
+            dtype=kdtype, interpret=settings.pallas_interpret,
+        )
+
+    def render_chunk(params, rays, codes, voxel_topo, ct):
+        z_vals, xyz_c, vox_c = stage_coarse_lookup(rays, voxel_topo, ct)
+        if settings.N_importance > 0:
+            z_all, xyz_f = stage_coarse_kernel(params, rays, z_vals, xyz_c,
+                                               vox_c)
+            vox_f = stage_fine_lookup(xyz_f, voxel_topo, ct)
+            out = stage_render_kernel(params["fine"], rays, z_all, xyz_f,
+                                      vox_f, codes)
+            typ = "fine"
+        else:
+            out = stage_render_kernel(params["coarse"], rays, z_vals, xyz_c,
+                                      vox_c, codes)
+            typ = "coarse"
+        results = {
+            f"rgb_{typ}": out["rgb"],
+            f"depth_{typ}": out["depth"],
+            f"opacity_{typ}": out["opacity"],
+        }
+        if settings.forward_instance:
+            results[f"rgb_instance_{typ}"] = out["rgb_instance"]
+            results[f"depth_instance_{typ}"] = out["depth_instance"]
+            results[f"opacity_instance_{typ}"] = out["opacity_instance"]
+        return results
+
+    return render_chunk
 
 
 def _render_rays_fused(

@@ -141,9 +141,35 @@ def make_render_fn(
         and settings.perturb == 0 and settings.noise_std == 0
     )
 
+    # eval-only: the voxel corner table is a pure function of the (frozen)
+    # features — build it ONCE per frame and thread it through every chunk
+    # program instead of rebuilding (scatter + pad + 8-view concat + bf16
+    # cast) inside each of the ~40 chunk jits
+    prebuild_ct = None
+    if voxel_static is not None and vg._dense_path_ok(voxel_static):
+        lowp = settings.use_pallas and settings.pallas_dtype == "bfloat16"
+
+        @jax.jit
+        def prebuild_ct(params, voxel_topo):
+            return vg.make_corner_table(
+                params["voxel_features"], voxel_topo, voxel_static, lowp=lowp
+            )
+
+    # voxel + fused eval: split gather stages from Pallas-kernel stages
+    # into separate programs (a row gather inside a program that also
+    # contains a large-VMEM Pallas call runs 2-4× slower — measured;
+    # renderer.make_fused_eval_stages)
+    split_chunk = None
+    if use_fused and prebuild_ct is not None:
+        from ..render.renderer import make_fused_eval_stages
+
+        split_chunk = make_fused_eval_stages(settings, voxel_static)
+
     @functools.partial(jax.jit, static_argnames=())
-    def render_chunk(params, rays_c, key, codes_c, voxel_topo):
+    def render_chunk(params, rays_c, key, codes_c, voxel_topo, ct):
         voxel_ctx = _voxel_ctx(params, voxel_topo, voxel_static)
+        if voxel_ctx is not None and ct is not None:
+            voxel_ctx = voxel_ctx + (ct,)
         codes = codes_c if settings.forward_instance else None
         if use_fused:
             from ..render.renderer import render_rays_fused_eval
@@ -170,12 +196,23 @@ def make_render_fn(
         codes = None
         if settings.forward_instance:
             codes = lookup_codes(params["code_library"], instance_ids)
+        ct = None
+        if prebuild_ct is not None:
+            ct = prebuild_ct(params, voxel_topo)
         n = rays.shape[0]
         outs = []
         for i in range(0, n, chunk):
             rays_c = rays[i : i + chunk]
             codes_c = codes[i : i + chunk] if codes is not None else None
-            outs.append(render_chunk(params, rays_c, key, codes_c, voxel_topo))
+            if split_chunk is not None:
+                outs.append(
+                    split_chunk(params, rays_c, codes_c, voxel_topo, ct)
+                )
+            else:
+                outs.append(
+                    render_chunk(params, rays_c, key, codes_c, voxel_topo,
+                                 ct)
+                )
         return {
             k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }

@@ -98,6 +98,26 @@ def test_fused_eval_voxel_path():
             rtol=1e-3, atol=5e-4, err_msg=key,
         )
 
+    # the split-program renderer (gathers isolated from kernel programs,
+    # the TPU fast path make_render_fn routes voxel eval through) must
+    # produce the same maps
+    from object_nerf_tpu.render.renderer import make_fused_eval_stages
+
+    settings_i = dataclasses.replace(
+        settings, use_pallas=True, pallas_interpret=True,
+        pallas_dtype="float32",
+    )
+    ct = vg.make_corner_table(features, topo, static, lowp=False)
+    stages = make_fused_eval_stages(settings_i, static)
+    got_split = stages(params, rays, codes, topo, ct)
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "depth_instance_fine",
+                "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got_split[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=f"split:{key}",
+        )
+
 
 def test_fused_eval_coarse_only_white_back():
     params = _params()
