@@ -495,7 +495,7 @@ def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
 def _run_bwd(
     mlp_params, xyz, dir_pe, codes, voxel_raw, g_array,
     *, cfg, forward_instance, bwd_rows_budget, dtype, interpret,
-    composite=None,
+    composite=None, bwd_vmem_limit_mb: int = 117,
 ):
     """Launch the backward kernel over ray tiles and reassemble gradients.
 
@@ -625,8 +625,9 @@ def _run_bwd(
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=117 * 1024 * 1024  # v5e has 128 MiB;
-            # the voxel bwd stash at 4096-row tiles needs ~114 MiB
+            # v5e has 128 MiB; the voxel bwd stash at 4096-row tiles
+            # needs ~114 MiB
+            vmem_limit_bytes=bwd_vmem_limit_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*inputs)
@@ -651,6 +652,8 @@ def make_fused_mlp_op(
     bwd_rows_budget: int = 4096,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    fwd_vmem_limit_mb: int = 100,
+    bwd_vmem_limit_mb: int = 117,
 ):
     """Build the differentiable fused-MLP op for a given architecture.
 
@@ -666,6 +669,7 @@ def make_fused_mlp_op(
             mlp_params, cfg, xyz, dir_pe, codes, voxel_raw,
             forward_instance=forward_instance,
             rows_budget=rows_budget, dtype=dtype, interpret=interpret,
+            vmem_limit_mb=fwd_vmem_limit_mb,
         )
 
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
@@ -673,7 +677,7 @@ def make_fused_mlp_op(
             mlp_params, xyz, dir_pe, codes, voxel_raw, g_out,
             cfg=cfg, forward_instance=forward_instance,
             bwd_rows_budget=bwd_rows_budget, dtype=dtype,
-            interpret=interpret,
+            interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
         )
 
     @jax.custom_vjp
