@@ -239,6 +239,13 @@ class ObjectNeRFSystem:
         if use_pallas == "auto":
             # fused kernels on real TPUs; XLA path elsewhere (CPU tests)
             use_pallas = jax.default_backend() == "tpu"
+        # interpreter-mode kernels (CPU tests of the pallas routing)
+        pallas_interpret = bool(
+            config.get("tpu", {}).get("pallas_interpret", False)
+        )
+        pallas_kw = dict(pallas_interpret=pallas_interpret)
+        if pallas_interpret:
+            pallas_kw["pallas_dtype"] = "float32"
         def _in_bbox(ds):
             # bbox-bounded training routes instance weights into fine
             # sampling (reference train.py:156-160 → rendering.py:228-229)
@@ -247,15 +254,14 @@ class ObjectNeRFSystem:
         self.settings = RenderSettings.from_config(
             config, white_back=getattr(dataset, "white_back", False),
             is_eval=False, use_pallas=bool(use_pallas),
-            rays_in_bbox=_in_bbox(dataset),
+            rays_in_bbox=_in_bbox(dataset), **pallas_kw,
         )
-        # the fused kernel is inference-only (no VJP yet) → eval path only
         self.eval_settings = RenderSettings.from_config(
             config,
             white_back=getattr(val_dataset or dataset, "white_back", False),
             is_eval=True,
             use_pallas=bool(use_pallas),
-            rays_in_bbox=_in_bbox(val_dataset or dataset),
+            rays_in_bbox=_in_bbox(val_dataset or dataset), **pallas_kw,
         )
 
         # voxel grid

@@ -1,0 +1,105 @@
+"""Progressive-training A/B: same scene, same seed, subdivision ON vs OFF.
+
+Round-2 evidence showed no PSNR dip at the epoch-5 subdivision (Adam
+moments grafted); this script produces the stronger claim the reference's
+design implies (train.py:140-145): the prune+subdivide schedule should
+*help* final quality, because the halved voxel size doubles the feature
+grid's spatial resolution where the scene is occupied.
+
+Runs ObjectNeRFSystem.fit twice on the on-disk synthetic desk scene
+(generated on demand) with `train.progressive_train` toggled, records the
+val-PSNR trajectory of both arms, and writes debug/progressive_ab.json.
+
+Usage:
+    python scripts/progressive_ab.py [--epochs 15] [--out debug/progressive_ab.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+
+def run_arm(progressive: bool, epochs: int):
+    from object_nerf_tpu.config import load_config
+    from object_nerf_tpu.data import dataset_dict
+    from object_nerf_tpu.train.system import ObjectNeRFSystem
+
+    cfg = load_config(cli_args=["dataset_config=config/synthetic_desk.yml"])
+    cfg.train.merge(dict(
+        num_epochs=epochs, progressive_train=progressive, seed=42,
+    ))
+    # denser voxels than the shipped config so subdivision has headroom
+    # to matter at this image scale
+    dataset_cls = dataset_dict[cfg.dataset_name]
+    kwargs = dict(img_wh=tuple(cfg.img_wh), dataset_extra=cfg.dataset_extra)
+    train_ds = dataset_cls(split="train", **kwargs)
+    val_ds = dataset_cls(split="val", **kwargs)
+    system = ObjectNeRFSystem(cfg, dataset=train_ds, val_dataset=val_ds)
+
+    curve = []
+
+    def cb(epoch, it, metrics, sys_):
+        if "val/psnr" in metrics:
+            curve.append({
+                "epoch": epoch, "it": it, "step": int(sys_.state.step),
+                "val_psnr": float(metrics["val/psnr"]),
+                "n_occupied": (
+                    int(np.asarray(jax.device_get(sys_.voxel_topo.n_occupied)))
+                    if sys_.voxel_topo is not None else None),
+                "voxel_size": (
+                    float(np.asarray(jax.device_get(sys_.voxel_topo.voxel_size)))
+                    if sys_.voxel_topo is not None else None),
+            })
+
+    system.fit(callbacks=[cb])
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--out", default="debug/progressive_ab.json")
+    args = ap.parse_args()
+
+    if not os.path.isdir("data/synthetic_desk"):
+        from scripts.make_synthetic_dataset import make_dataset
+
+        make_dataset("data/synthetic_desk")
+
+    results = {}
+    for progressive in (True, False):
+        arm = "progressive" if progressive else "fixed"
+        print(f"=== arm: {arm} ({args.epochs} epochs) ===", flush=True)
+        results[arm] = run_arm(progressive, args.epochs)
+        last = results[arm][-1]
+        print(f"{arm}: final val/psnr {last['val_psnr']:.2f} "
+              f"(voxel_size {last['voxel_size']})", flush=True)
+
+    w = 4  # mean of the last 4 validations
+    summary = {
+        arm: {
+            "final_psnr_mean_last4": float(np.mean(
+                [c["val_psnr"] for c in curve[-w:]])),
+            "best_psnr": float(max(c["val_psnr"] for c in curve)),
+        }
+        for arm, curve in results.items()
+    }
+    summary["progressive_gain_db"] = (
+        summary["progressive"]["final_psnr_mean_last4"]
+        - summary["fixed"]["final_psnr_mean_last4"])
+    out = {"epochs": args.epochs, "curves": results, "summary": summary}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

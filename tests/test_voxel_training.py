@@ -129,3 +129,30 @@ def test_subdivision_preserves_mlp_optimizer_moments(voxel_config):
     # and training continues fine
     m = system.training_step(ds.sample_batch(256, rng))
     assert np.isfinite(float(m["train/loss"]))
+
+
+def test_render_image_pallas_split_matches_xla(voxel_config):
+    """make_render_fn's TPU fast path for voxel eval (prebuilt corner table
+    + gather/kernel program split) vs the plain XLA render, driven through
+    the real system surface (interpret-mode kernels on CPU)."""
+    ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
+                          dataset_extra=voxel_config.dataset_extra)
+    batch = ds.whole_image_batch(0)
+
+    ref_sys = ObjectNeRFSystem(voxel_config, dataset=ds, val_dataset=None)
+    out_ref = ref_sys.render_image(batch, chunk=64)
+
+    cfg = voxel_config.copy()
+    cfg.merge({"tpu": {"use_pallas": True, "pallas_interpret": True}})
+    pal_sys = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    # identical weights: adopt the XLA system's params
+    pal_sys.state = pal_sys.state._replace(params=ref_sys.state.params)
+    assert pal_sys.eval_settings.use_pallas
+    out_pal = pal_sys.render_image(batch, chunk=64)
+
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(out_pal[key]), np.asarray(out_ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=key,
+        )
