@@ -452,6 +452,41 @@ def voxel_lookup_dense(
     return out, ~sample_valid
 
 
+def voxel_lookup_rows(
+    features: jnp.ndarray,
+    topo: VoxelTopology,
+    static: VoxelStatic,
+    xyz: jnp.ndarray,  # (N, 3) normalized coords
+    lowp: bool = True,
+):
+    """Corner ROWS + trilinear weights, weighted sum left to the caller.
+
+    The rows-mode fused train kernels (ops/pallas_mlp_vjp, vox_rows_mode)
+    consume the raw (N, 8·C) gather output and do the trilinear reduction
+    in VMEM; their backward emits the per-corner row cotangent directly,
+    so XLA never materializes the (N, 8, C) expansion or the (N, C)
+    weighted-sum intermediate (both lane-pad to 128 in HBM). Invalid
+    samples are handled by ZEROING their weights — the weighted sum then
+    reproduces voxel_lookup_dense's masking exactly. Gradients to the
+    feature table flow through the same segment-sum VJP
+    (_take_rows[_bf16]) and corner-table-build transpose.
+
+    Returns (rows (N, 8·C) [bf16 when lowp], wts (N, 8) f32).
+    """
+    X, Y, Z = static.shape
+    xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
+    base = jnp.floor(xyz_scaled)
+    q0 = base.astype(jnp.int32)
+    shape = jnp.asarray(static.shape, jnp.int32)
+    sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
+    pb = jnp.clip(q0 + 1, 0, shape)
+    flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
+    take = _take_rows_bf16 if lowp else _take_rows
+    rows = take(_cell_corner_table(features, topo, static), flat)
+    wts = _trilinear_weights(xyz_scaled - base) * sample_valid[:, None]
+    return rows, wts
+
+
 def _dense_path_ok(static: VoxelStatic) -> bool:
     n_pcells = (static.shape[0] + 1) * (static.shape[1] + 1) * (static.shape[2] + 1)
     return n_pcells * 8 * static.channels * 4 <= DENSE_CELL_TABLE_LIMIT_BYTES

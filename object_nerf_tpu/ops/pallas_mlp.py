@@ -174,6 +174,29 @@ def _broadcast_rows(per_ray, s: int):
     return jnp.broadcast_to(per_ray[:, None, :], (r, s, c)).reshape(r * s, c)
 
 
+def _trilinear_reduce(rows, wts, channels: int):
+    """(RS, 8·C) corner rows × (RS, 8) weights → (RS, C) f32 in-kernel.
+
+    The rows-mode voxel fetch: 8 static lane slices, a multiply and an add
+    each — cheap VPU work on data already streaming through VMEM, replacing
+    the XLA weighted-sum pass (whose (RS, C) f32 intermediate lane-pads to
+    128 in HBM)."""
+    out = None
+    for j in range(8):
+        term = (wts[:, j : j + 1]
+                * rows[:, j * channels : (j + 1) * channels].astype(
+                    jnp.float32))
+        out = term if out is None else out + term
+    return out
+
+
+def _trilinear_expand(d_vox, wts, channels: int):
+    """VJP of _trilinear_reduce wrt rows: (RS, C) × (RS, 8) → (RS, 8·C)."""
+    return jnp.concatenate(
+        [wts[:, j : j + 1] * d_vox for j in range(8)], axis=-1
+    )
+
+
 def _eval_branches(
     data_refs,
     w,
@@ -184,13 +207,16 @@ def _eval_branches(
     dt,
     compute_scene: bool = True,
     sigma_only: bool = False,
+    voxel_value=None,
 ):
     """Shared branch evaluation: returns (sigma, rgb, i_sigma, i_rgb) as
     (RS, 1)/(RS, 3) arrays (instance outputs None when disabled; scene
     outputs None when compute_scene=False — the editable renderer evaluates
     objects through the instance branch alone, multi_rendering.py:63-68).
     sigma_only skips the rgb heads entirely (no dir/code operands): the
-    coarse eval pass only needs scene density for the importance pdf."""
+    coarse eval pass only needs scene density for the importance pdf.
+    voxel_value: precomputed (RS, C_vox) features (rows-mode callers reduce
+    corner rows in-kernel) — takes precedence over the voxel data ref."""
     if sigma_only:
         xyz_ref, dir_ref, code_ref = data_refs[0], None, None
     else:
@@ -221,7 +247,10 @@ def _eval_branches(
     # classical:  [x(3), x_sin(60)]
     ivox_h = ivox_sin_h = None
     if use_voxel:
-        raw = data_refs[1 if sigma_only else 3][:]  # (RS, C_vox)
+        if voxel_value is not None:
+            raw = voxel_value  # (RS, C_vox)
+        else:
+            raw = data_refs[1 if sigma_only else 3][:]  # (RS, C_vox)
         svox_h = halves(raw[:, : cfg.N_scn_voxel_size])
         svox_sin_h = [pe(x, "pe_svox_S", "pe_svox_phase") for x in svox_h]
         if forward_instance:
@@ -312,16 +341,22 @@ def _mlp_kernel(
     use_voxel: bool,
     forward_instance: bool,
     compute_scene: bool,
+    vox_rows_mode: bool = False,
     dtype,
 ):
-    n_data = 4 if use_voxel else 3
+    n_data = (5 if vox_rows_mode else 4) if use_voxel else 3
     data_refs = refs[:n_data]
     w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
     out_ref = refs[-1]
 
+    voxel_value = None
+    if vox_rows_mode:
+        voxel_value = _trilinear_reduce(
+            data_refs[3][:], data_refs[4][:], cfg.N_scn_voxel_size + cfg.N_obj_voxel_size
+        )
     sigma, rgb, i_sigma, i_rgb = _eval_branches(
         data_refs, w, cfg, n_samples, use_voxel, forward_instance, dtype,
-        compute_scene=compute_scene,
+        compute_scene=compute_scene, voxel_value=voxel_value,
     )
     rows = out_ref.shape[0]
     if sigma is None:
@@ -441,6 +476,8 @@ def fused_mlp_eval(
     dir_pe: jnp.ndarray,  # (n_rays, C_dir) — frequency-encoded directions
     obj_codes: Optional[jnp.ndarray] = None,  # (n_rays, C_code)
     voxel_raw: Optional[jnp.ndarray] = None,  # (n_rays, S, C_vox)
+    voxel_rows: Optional[jnp.ndarray] = None,  # (n_rays, S, 8·C_vox)
+    voxel_wts: Optional[jnp.ndarray] = None,  # (n_rays, S, 8)
     forward_instance: bool = True,
     compute_scene: bool = True,
     rays_per_tile: Optional[int] = None,
@@ -455,12 +492,17 @@ def fused_mlp_eval(
     — measured sweet spot on v5e: big enough to fill the MXU, small enough
     that the f32 activations (rows × W) stay within the VMEM budget.
 
+    Voxel features arrive EITHER pre-reduced (`voxel_raw`) or as raw corner
+    rows + trilinear weights (`voxel_rows`/`voxel_wts`, rows mode) with the
+    weighted sum done in-kernel (_trilinear_reduce).
+
     Returns (sigma (n_rays,S), rgb (n_rays,S,3), inst_sigma, inst_rgb);
     instance outputs are zeros when forward_instance=False.
     """
     n_rays, s, _ = xyz.shape
     use_voxel = cfg.use_voxel_embedding
-    if use_voxel and voxel_raw is None:
+    vox_rows_mode = voxel_rows is not None
+    if use_voxel and voxel_raw is None and not vox_rows_mode:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
     if rays_per_tile is None:
@@ -489,7 +531,17 @@ def fused_mlp_eval(
         pl.BlockSpec((r, obj_codes.shape[-1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if use_voxel:
+    if use_voxel and vox_rows_mode:
+        rows_flat = voxel_rows.reshape(n_rays * s, -1)
+        wts_flat = voxel_wts.reshape(n_rays * s, 8)
+        inputs.extend([rows_flat, wts_flat])
+        in_specs.extend([
+            pl.BlockSpec((rows, rows_flat.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+    elif use_voxel:
         vox_flat = voxel_raw.reshape(n_rays * s, -1)
         inputs.append(vox_flat)
         in_specs.append(
@@ -507,6 +559,7 @@ def fused_mlp_eval(
         use_voxel=use_voxel,
         forward_instance=forward_instance,
         compute_scene=compute_scene,
+        vox_rows_mode=vox_rows_mode,
         dtype=dtype,
     )
     out = pl.pallas_call(

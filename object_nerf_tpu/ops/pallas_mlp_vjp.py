@@ -78,6 +78,7 @@ def _bwd_kernel(
     forward_instance: bool,
     per_ray_blocks: bool,
     composite_mode: bool = False,
+    vox_rows_mode: bool = False,
     last_delta_inf: bool = True,
     frustum_bound_th: float = 0.0,
     dtype,
@@ -99,11 +100,12 @@ def _bwd_kernel(
     Outputs: [d_<weight> ...] (accumulated), d_codes (RS, Cc)
              [, d_voxel_raw (RS, C_vox)].
     """
-    n_mlp = 4 if use_voxel else 3
+    n_mlp = (5 if vox_rows_mode else 4) if use_voxel else 3
     n_data = n_mlp + (5 if composite_mode else 1)
     data_refs = refs[:n_data]
     xyz_ref, dir_ref, code_ref = data_refs[:3]
     vox_ref = data_refs[3] if use_voxel else None
+    wts_ref = data_refs[4] if (use_voxel and vox_rows_mode) else None
     if composite_mode:
         z_ref, noise_s_ref, noise_i_ref, pt_ref = data_refs[n_mlp : n_mlp + 4]
     g_ref = data_refs[-1]
@@ -144,7 +146,16 @@ def _bwd_kernel(
                  for x in xyz_h]
     xyz_sin_h = [sinf(p) for p in pre_xyz_h]
     if use_voxel:
-        raw_h = halves(vox_ref[:])
+        n_vox_c = cfg.N_scn_voxel_size + cfg.N_obj_voxel_size
+        if vox_rows_mode:
+            from .pallas_mlp import _trilinear_expand, _trilinear_reduce
+
+            wts_h = halves(wts_ref[:])
+            raw_h = halves(
+                _trilinear_reduce(vox_ref[:], wts_ref[:], n_vox_c)
+            )
+        else:
+            raw_h = halves(vox_ref[:])
         svox_h = [raw[:, : cfg.N_scn_voxel_size] for raw in raw_h]
         ivox_h = [raw[:, cfg.N_scn_voxel_size :] for raw in raw_h]
         pre_svox_h = [
@@ -447,9 +458,13 @@ def _bwd_kernel(
             else:
                 d_ivox_full = jnp.zeros((blk, cfg.N_obj_voxel_size),
                                         jnp.float32)
-            d_vox_parts.append(
-                jnp.concatenate([d_svox, d_ivox_full], axis=-1)
-            )
+            d_vox = jnp.concatenate([d_svox, d_ivox_full], axis=-1)
+            if vox_rows_mode:
+                # emit the per-corner row cotangent directly (VJP of the
+                # in-kernel trilinear reduce) — XLA never materializes the
+                # (RS, 8, C) expansion
+                d_vox = _trilinear_expand(d_vox, wts_h[k], n_vox_c)
+            d_vox_parts.append(d_vox)
         d_vox_ref[:] = jnp.concatenate(d_vox_parts, axis=0)
 
     # PE matrices and phases receive no gradient (constants)
@@ -495,7 +510,7 @@ def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
 def _run_bwd(
     mlp_params, xyz, dir_pe, codes, voxel_raw, g_array,
     *, cfg, forward_instance, bwd_rows_budget, dtype, interpret,
-    composite=None, bwd_vmem_limit_mb: int = 117,
+    composite=None, bwd_vmem_limit_mb: int = 117, voxel_wts=None,
 ):
     """Launch the backward kernel over ray tiles and reassemble gradients.
 
@@ -504,7 +519,12 @@ def _run_bwd(
     noise_scene, noise_inst, pass_through ((n, S) each), last_delta_inf,
     frustum_bound_th — g_array is the (n, 10) per-ray MAP cotangent and
     the kernel owns the compositing VJP.
+
+    voxel_wts set = rows mode: voxel_raw carries the (n, S, 8·C) corner
+    rows, the trilinear reduce/expand happens in-kernel, and d_vox is the
+    per-corner row cotangent (same shape as voxel_raw).
     """
+    vox_rows_mode = voxel_wts is not None
     use_voxel = cfg.use_voxel_embedding
     n_rays, s, _ = xyz.shape
     if composite is not None:
@@ -560,6 +580,12 @@ def _run_bwd(
             pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
+        if vox_rows_mode:
+            inputs.append(voxel_wts.reshape(n_rays * s, 8))
+            in_specs.append(
+                pl.BlockSpec((rows, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
     if composite is not None:
         for arr in (composite["z_vals"], composite["noise_scene"],
                     composite["noise_inst"], composite["pass_through"]):
@@ -614,6 +640,7 @@ def _run_bwd(
         use_voxel=use_voxel, forward_instance=forward_instance,
         per_ray_blocks=per_ray_blocks,
         composite_mode=composite is not None,
+        vox_rows_mode=vox_rows_mode,
         last_delta_inf=(composite or {}).get("last_delta_inf", True),
         frustum_bound_th=(composite or {}).get("frustum_bound_th", 0.0),
         dtype=dtype,
@@ -654,6 +681,7 @@ def make_fused_mlp_op(
     interpret: bool = False,
     fwd_vmem_limit_mb: int = 100,
     bwd_vmem_limit_mb: int = 117,
+    vox_rows_mode: bool = False,
 ):
     """Build the differentiable fused-MLP op for a given architecture.
 
@@ -661,35 +689,36 @@ def make_fused_mlp_op(
         op(mlp_params, xyz (n,S,3), dir_pe (n,Cd), codes (n,Cc),
            voxel_raw (n,S,Cv) | None)
         -> (sigma (n,S), rgb (n,S,3), inst_sigma, inst_rgb)
+
+    vox_rows_mode: the voxel input is (voxel_rows (n,S,8·Cv),
+    voxel_wts (n,S,8)) instead of pre-reduced features — the trilinear
+    weighted sum runs in-kernel and the rows cotangent is emitted directly
+    (feeds the segment-sum table grad with no XLA expansion pass):
+        op(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts)
     """
     use_voxel = cfg.use_voxel_embedding
 
-    def fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw):
+    def fwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b):
+        kw = (dict(voxel_rows=vox_a, voxel_wts=vox_b) if vox_rows_mode
+              else dict(voxel_raw=vox_a))
         return fused_mlp_eval(
-            mlp_params, cfg, xyz, dir_pe, codes, voxel_raw,
+            mlp_params, cfg, xyz, dir_pe, codes,
             forward_instance=forward_instance,
             rows_budget=rows_budget, dtype=dtype, interpret=interpret,
-            vmem_limit_mb=fwd_vmem_limit_mb,
+            vmem_limit_mb=fwd_vmem_limit_mb, **kw,
         )
 
-    def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
+    def bwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out):
         return _run_bwd(
-            mlp_params, xyz, dir_pe, codes, voxel_raw, g_out,
+            mlp_params, xyz, dir_pe, codes, vox_a, g_out,
             cfg=cfg, forward_instance=forward_instance,
             bwd_rows_budget=bwd_rows_budget, dtype=dtype,
             interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
+            voxel_wts=vox_b if vox_rows_mode else None,
         )
 
-    @jax.custom_vjp
-    def op(mlp_params, xyz, dir_pe, codes, voxel_raw):
-        return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw)
-
-    def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_raw):
-        out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw)
-        return out, (mlp_params, xyz, dir_pe, codes, voxel_raw)
-
-    def op_bwd(res, g):
-        mlp_params, xyz, dir_pe, codes, voxel_raw = res
+    def op_bwd_common(res, g):
+        mlp_params, xyz, dir_pe, codes, vox_a, vox_b = res
         g_sigma, g_rgb, g_isigma, g_irgb = g
         n, s = g_sigma.shape
         g_out = jnp.concatenate(
@@ -702,11 +731,42 @@ def make_fused_mlp_op(
             axis=-1,
         )
         d_params, d_codes, d_vox = bwd_impl(
-            mlp_params, xyz, dir_pe, codes, voxel_raw, g_out
+            mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out
         )
         # sample positions / ray directions never feed trainable params here
         return (d_params, jnp.zeros_like(xyz), jnp.zeros_like(dir_pe),
                 d_codes, d_vox)
+
+    if vox_rows_mode:
+
+        @jax.custom_vjp
+        def op(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts):
+            return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_rows,
+                            voxel_wts)
+
+        def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts):
+            out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_rows,
+                           voxel_wts)
+            return out, (mlp_params, xyz, dir_pe, codes, voxel_rows,
+                         voxel_wts)
+
+        def op_bwd(res, g):
+            *grads, d_rows = op_bwd_common(res, g)
+            # trilinear weights are a (non-trainable) function of xyz
+            return (*grads, d_rows, jnp.zeros_like(res[5]))
+
+    else:
+
+        @jax.custom_vjp
+        def op(mlp_params, xyz, dir_pe, codes, voxel_raw):
+            return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, None)
+
+        def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_raw):
+            out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, None)
+            return out, (mlp_params, xyz, dir_pe, codes, voxel_raw, None)
+
+        def op_bwd(res, g):
+            return op_bwd_common(res, g)
 
     op.defvjp(op_fwd, op_bwd)
     return op

@@ -59,6 +59,11 @@ class RenderSettings:
     # composite it eliminates. Viable on larger-VMEM parts.
     fuse_composite: bool = False
     remat: bool = False  # rematerialize MLP evals in the backward pass
+    # rows-mode voxel fetch in the TRAIN kernels: ship raw corner rows +
+    # trilinear weights into the fused ops, reduce in VMEM, emit the rows
+    # cotangent directly (ops/pallas_mlp_vjp vox_rows_mode). Requires the
+    # dense corner-table path.
+    pallas_vox_rows: bool = False
 
     @classmethod
     def from_config(cls, cfg, *, white_back=False, is_eval=False, **over):
@@ -137,17 +142,42 @@ def _eval_models(
     if settings.use_pallas:
         from ..ops.pallas_mlp_vjp import make_fused_mlp_op
 
-        voxel_raw = _lookup_voxel_raw(settings, voxel_ctx, xyz)
         codes = embedding_instance
         if codes is None:
             codes = jnp.zeros((n_rays, settings.mlp.N_obj_code_length), xyz.dtype)
-        op = make_fused_mlp_op(
-            settings.mlp, settings.forward_instance,
-            dtype=jnp.dtype(settings.pallas_dtype).type,
-        )
-        sigma, rgb, i_sigma, i_rgb = op(
-            mlp_params, xyz, dir_embedded, codes, voxel_raw
-        )
+        rows_mode = False
+        if voxel_ctx is not None and settings.pallas_vox_rows:
+            from ..models.voxel_grid import _dense_path_ok
+
+            rows_mode = _dense_path_ok(voxel_ctx[2])
+        if rows_mode:
+            from ..models.voxel_grid import voxel_lookup_rows
+
+            features, topo, static = voxel_ctx[:3]
+            rows, wts = voxel_lookup_rows(
+                features, topo, static, xyz.reshape(-1, 3),
+                lowp=settings.pallas_dtype == "bfloat16",
+            )
+            op = make_fused_mlp_op(
+                settings.mlp, settings.forward_instance,
+                dtype=jnp.dtype(settings.pallas_dtype).type,
+                interpret=settings.pallas_interpret, vox_rows_mode=True,
+            )
+            sigma, rgb, i_sigma, i_rgb = op(
+                mlp_params, xyz, dir_embedded, codes,
+                rows.reshape(n_rays, n_samp, -1),
+                wts.reshape(n_rays, n_samp, 8),
+            )
+        else:
+            voxel_raw = _lookup_voxel_raw(settings, voxel_ctx, xyz)
+            op = make_fused_mlp_op(
+                settings.mlp, settings.forward_instance,
+                dtype=jnp.dtype(settings.pallas_dtype).type,
+                interpret=settings.pallas_interpret,
+            )
+            sigma, rgb, i_sigma, i_rgb = op(
+                mlp_params, xyz, dir_embedded, codes, voxel_raw
+            )
         out = {"sigma": sigma, "rgb": rgb}
         if settings.forward_instance:
             out["inst_sigma"] = i_sigma
