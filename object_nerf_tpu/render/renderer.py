@@ -328,21 +328,24 @@ def render_rays_fused_eval(
     return results
 
 
-def make_fused_eval_stages(settings: RenderSettings, voxel_static):
-    """The voxel eval chunk renderer as SEPARATE jitted programs: gather
-    stages isolated from Pallas-kernel stages.
+def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
+    """The eval chunk renderer as SEPARATE jitted programs: Pallas kernels
+    isolated from every other XLA op.
 
-    Measured on v5e: a corner-table row gather inside the same XLA program
-    as a large-VMEM Pallas call runs 2-4× slower than standalone (the
-    gather's scoped-VMEM staging competes with the kernel's budget;
-    optimization_barrier does not help). Splitting the chunk into
-    [lookup_c] → [coarse kernel + pdf glue] → [lookup_f] → [fine kernel]
-    programs dispatched back-to-back restores standalone gather speed:
-    71 → 32 ms per 7680-ray chunk. Host dispatch (~1 ms/program) overlaps
-    device work in the async chunk pipeline.
+    Measured on v5e: XLA ops sharing a program with a large-VMEM Pallas
+    call run far slower than standalone — a corner-table row gather 2-4×
+    (71 → 32 ms per 7680-ray voxel chunk when split out), and even the
+    classical pdf/merge glue costs ~3 ms/chunk of the same tax (388k →
+    454k rays/s at 640×480 when split). optimization_barrier does not
+    help, and the kernel's vmem_limit has no effect (swept 24-100 MB).
+    So: kernel programs contain ONLY the Pallas call (+ the trivial dir-PE
+    matmul); sampling glue and voxel gathers live in kernel-free programs.
+    Host dispatch (~1 ms/program, 4/chunk) overlaps device work in the
+    async chunk pipeline.
 
     Returns render_chunk(params, rays, codes, voxel_topo, ct) -> final-typ
-    maps (same contract as render_rays_fused_eval with a voxel ctx).
+    maps (same contract as render_rays_fused_eval). For the classical path
+    pass voxel_static=None and voxel_topo=ct=None at call time.
     """
     from ..models.voxel_grid import voxel_lookup_dense
     from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
@@ -353,8 +356,11 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static):
     mlp = settings.mlp
     kdtype = jnp.dtype(settings.pallas_dtype).type
     lowp = settings.pallas_dtype == "bfloat16"
+    use_voxel = voxel_static is not None
 
     def lookup(voxel_topo, ct, xyz):
+        if not use_voxel:
+            return None
         raw, _ = voxel_lookup_dense(
             None, voxel_topo, voxel_static, xyz.reshape(-1, 3), lowp=lowp,
             ct=ct,
@@ -362,7 +368,7 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static):
         return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
 
     @jax.jit
-    def stage_coarse_lookup(rays, voxel_topo, ct):
+    def stage_prep(rays, voxel_topo, ct):
         near, far = rays[:, 6:7], rays[:, 7:8]
         z_vals = stratified_sample(None, near, far, settings.N_samples,
                                    settings.use_disp, 0.0)
@@ -370,21 +376,20 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static):
         return z_vals, xyz, lookup(voxel_topo, ct, xyz)
 
     @jax.jit
-    def stage_coarse_kernel(params, rays, z_vals, xyz_c, vox_c):
-        weights = fused_coarse_weights(
-            params["coarse"], mlp, xyz_c, z_vals, voxel_raw=vox_c,
+    def stage_coarse_kernel(coarse_params, z_vals, xyz_c, vox_c):
+        return fused_coarse_weights(
+            coarse_params, mlp, xyz_c, z_vals, voxel_raw=vox_c,
             dtype=kdtype, interpret=settings.pallas_interpret,
         )
+
+    @jax.jit
+    def stage_glue(rays, z_vals, weights, voxel_topo, ct):
         z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
         z_fine = sample_pdf(None, z_mid, weights[:, 1:-1],
                             settings.N_importance, det=True)
         z_all = merge_z_vals(z_vals, z_fine)
         xyz_f = rays[:, None, 0:3] + rays[:, None, 3:6] * z_all[..., None]
-        return z_all, xyz_f
-
-    @jax.jit
-    def stage_fine_lookup(xyz_f, voxel_topo, ct):
-        return lookup(voxel_topo, ct, xyz_f)
+        return z_all, xyz_f, lookup(voxel_topo, ct, xyz_f)
 
     @jax.jit
     def stage_render_kernel(mlp_params, rays, z, xyz, vox, codes):
@@ -396,12 +401,13 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static):
             dtype=kdtype, interpret=settings.pallas_interpret,
         )
 
-    def render_chunk(params, rays, codes, voxel_topo, ct):
-        z_vals, xyz_c, vox_c = stage_coarse_lookup(rays, voxel_topo, ct)
+    def render_chunk(params, rays, codes, voxel_topo=None, ct=None):
+        z_vals, xyz_c, vox_c = stage_prep(rays, voxel_topo, ct)
         if settings.N_importance > 0:
-            z_all, xyz_f = stage_coarse_kernel(params, rays, z_vals, xyz_c,
-                                               vox_c)
-            vox_f = stage_fine_lookup(xyz_f, voxel_topo, ct)
+            weights = stage_coarse_kernel(params["coarse"], z_vals, xyz_c,
+                                          vox_c)
+            z_all, xyz_f, vox_f = stage_glue(rays, z_vals, weights,
+                                             voxel_topo, ct)
             out = stage_render_kernel(params["fine"], rays, z_all, xyz_f,
                                       vox_f, codes)
             typ = "fine"

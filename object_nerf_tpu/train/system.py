@@ -155,12 +155,13 @@ def make_render_fn(
                 params["voxel_features"], voxel_topo, voxel_static, lowp=lowp
             )
 
-    # voxel + fused eval: split gather stages from Pallas-kernel stages
-    # into separate programs (a row gather inside a program that also
-    # contains a large-VMEM Pallas call runs 2-4× slower — measured;
-    # renderer.make_fused_eval_stages)
+    # fused eval: split Pallas-kernel stages from everything else into
+    # separate programs (XLA ops sharing a program with a large-VMEM
+    # Pallas call run far slower — gathers 2-4×, even the classical pdf
+    # glue ~3 ms/chunk; renderer.make_fused_eval_stages). Classical always
+    # splits; voxel additionally needs the prebuilt corner table.
     split_chunk = None
-    if use_fused and prebuild_ct is not None:
+    if use_fused and (voxel_static is None or prebuild_ct is not None):
         from ..render.renderer import make_fused_eval_stages
 
         split_chunk = make_fused_eval_stages(settings, voxel_static)

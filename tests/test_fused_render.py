@@ -65,6 +65,33 @@ def test_fused_eval_matches_xla_pipeline():
         )
 
 
+def test_classical_split_stages_match_xla():
+    """The classical split-program renderer (kernel-only programs, the TPU
+    fast path) vs the XLA pipeline."""
+    from object_nerf_tpu.render.renderer import make_fused_eval_stages
+
+    params = _params()
+    rays = _rays()
+    codes = lookup_codes(params["code_library"], jnp.zeros((16,), jnp.int32))
+    ref = render_rays(
+        params, rays, jax.random.PRNGKey(0), SETTINGS,
+        embedding_instance=codes,
+    )
+    settings_i = dataclasses.replace(
+        SETTINGS, use_pallas=True, pallas_interpret=True,
+        pallas_dtype="float32",
+    )
+    stages = make_fused_eval_stages(settings_i)
+    got = stages(params, rays, codes)
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "depth_instance_fine",
+                "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=f"classical-split:{key}",
+        )
+
+
 def test_fused_eval_voxel_path():
     import numpy as onp
     from object_nerf_tpu.models import voxel_grid as vg
