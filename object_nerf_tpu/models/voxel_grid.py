@@ -407,6 +407,29 @@ def make_corner_table(features, topo, static: VoxelStatic, lowp: bool = False):
     return ct.astype(jnp.bfloat16) if lowp else ct
 
 
+def corner_index_weights(topo: VoxelTopology, static: VoxelStatic, xyz):
+    """Dense-path sample addressing: (flat (N,) int32 padded-cell row index,
+    wts (N, 8) f32 trilinear weights, ZEROED for out-of-bounds samples).
+
+    `sum(ct[flat].reshape(N, 8, C) * wts[..., None], 1)` then reproduces
+    `voxel_lookup_dense`'s masked trilinear lookup exactly (zeroed weights
+    ≡ the where-mask on finite rows), and `wts`-scaled row cotangents
+    segment-summed over `flat` are its exact table gradient — the
+    split-program train step (train/split_step.py) relies on both.
+    Also returns sample_valid (N,) bool (in-bounds mask).
+    """
+    _, Y, Z = static.shape
+    xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
+    base = jnp.floor(xyz_scaled)
+    q0 = base.astype(jnp.int32)
+    shape = jnp.asarray(static.shape, jnp.int32)
+    sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
+    pb = jnp.clip(q0 + 1, 0, shape)  # padded-frame base cell
+    flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
+    wts = _trilinear_weights(xyz_scaled - base) * sample_valid[:, None]
+    return flat, wts, sample_valid
+
+
 def voxel_lookup_dense(
     features: jnp.ndarray,
     topo: VoxelTopology,
@@ -429,26 +452,17 @@ def voxel_lookup_dense(
     ct: a prebuilt table from `make_corner_table` (eval-only fast path —
     skips the in-program build and carries no feature gradient).
     """
-    X, Y, Z = static.shape
-    xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
-    base = jnp.floor(xyz_scaled)
-    q0 = base.astype(jnp.int32)
-    shape = jnp.asarray(static.shape, jnp.int32)
-    sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
-    pb = jnp.clip(q0 + 1, 0, shape)  # padded-frame base cell
-    flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
+    flat, wts, sample_valid = corner_index_weights(topo, static, xyz)
     if ct is None:
         take = _take_rows_bf16 if lowp else _take_rows
         rows = take(_cell_corner_table(features, topo, static), flat)
     else:
         rows = jnp.take(ct, flat, axis=0)  # (N, 8·C)
-    wts = _trilinear_weights(xyz_scaled - base)  # (N, 8)
     out = jnp.sum(
         rows.reshape(-1, 8, static.channels).astype(jnp.float32)
         * wts[..., None],
         axis=1,
     )
-    out = jnp.where(sample_valid[:, None], out, 0.0)
     return out, ~sample_valid
 
 
@@ -473,17 +487,9 @@ def voxel_lookup_rows(
 
     Returns (rows (N, 8·C) [bf16 when lowp], wts (N, 8) f32).
     """
-    X, Y, Z = static.shape
-    xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
-    base = jnp.floor(xyz_scaled)
-    q0 = base.astype(jnp.int32)
-    shape = jnp.asarray(static.shape, jnp.int32)
-    sample_valid = jnp.all((q0 >= -1) & (q0 <= shape - 1), axis=-1)
-    pb = jnp.clip(q0 + 1, 0, shape)
-    flat = (pb[:, 0] * (Y + 1) + pb[:, 1]) * (Z + 1) + pb[:, 2]
+    flat, wts, _ = corner_index_weights(topo, static, xyz)
     take = _take_rows_bf16 if lowp else _take_rows
     rows = take(_cell_corner_table(features, topo, static), flat)
-    wts = _trilinear_weights(xyz_scaled - base) * sample_valid[:, None]
     return rows, wts
 
 

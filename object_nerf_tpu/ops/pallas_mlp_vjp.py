@@ -671,6 +671,56 @@ def _run_bwd(
     return d_params, d_codes, d_vox
 
 
+def make_fused_fwd_bwd(
+    cfg: ObjectNeRFConfig,
+    forward_instance: bool,
+    rows_budget: int = 2048,
+    bwd_rows_budget: int = 4096,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    fwd_vmem_limit_mb: int = 100,
+    bwd_vmem_limit_mb: int = 117,
+    vox_rows_mode: bool = False,
+):
+    """Raw (fwd, bwd) kernel launchers for externally-orchestrated
+    differentiation.
+
+    `make_fused_mlp_op` wraps these in a custom VJP for single-program
+    autodiff; `train/split_step.py` dispatches them directly as separate
+    kernel-only XLA programs (XLA ops sharing a program with a large-VMEM
+    Pallas call run 2-4× slower — see renderer.make_fused_eval_stages).
+
+        fwd(mlp_params, xyz, dir_pe, codes, vox_a, vox_b)
+            -> (sigma (n,S), rgb, inst_sigma, inst_rgb)
+        bwd(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out (n·S, 8))
+            -> (d_mlp_params, d_codes (n,Cc), d_vox | None)
+
+    vox_a/vox_b are (voxel_raw, None), or (voxel_rows, voxel_wts) in
+    vox_rows_mode, or (None, None) for the classical-PE path.
+    """
+
+    def fwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b):
+        kw = (dict(voxel_rows=vox_a, voxel_wts=vox_b) if vox_rows_mode
+              else dict(voxel_raw=vox_a))
+        return fused_mlp_eval(
+            mlp_params, cfg, xyz, dir_pe, codes,
+            forward_instance=forward_instance,
+            rows_budget=rows_budget, dtype=dtype, interpret=interpret,
+            vmem_limit_mb=fwd_vmem_limit_mb, **kw,
+        )
+
+    def bwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out):
+        return _run_bwd(
+            mlp_params, xyz, dir_pe, codes, vox_a, g_out,
+            cfg=cfg, forward_instance=forward_instance,
+            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
+            interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
+            voxel_wts=vox_b if vox_rows_mode else None,
+        )
+
+    return fwd_impl, bwd_impl
+
+
 @functools.lru_cache(maxsize=32)
 def make_fused_mlp_op(
     cfg: ObjectNeRFConfig,
@@ -696,26 +746,12 @@ def make_fused_mlp_op(
     (feeds the segment-sum table grad with no XLA expansion pass):
         op(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts)
     """
-    use_voxel = cfg.use_voxel_embedding
-
-    def fwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b):
-        kw = (dict(voxel_rows=vox_a, voxel_wts=vox_b) if vox_rows_mode
-              else dict(voxel_raw=vox_a))
-        return fused_mlp_eval(
-            mlp_params, cfg, xyz, dir_pe, codes,
-            forward_instance=forward_instance,
-            rows_budget=rows_budget, dtype=dtype, interpret=interpret,
-            vmem_limit_mb=fwd_vmem_limit_mb, **kw,
-        )
-
-    def bwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out):
-        return _run_bwd(
-            mlp_params, xyz, dir_pe, codes, vox_a, g_out,
-            cfg=cfg, forward_instance=forward_instance,
-            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
-            interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
-            voxel_wts=vox_b if vox_rows_mode else None,
-        )
+    fwd_impl, bwd_impl = make_fused_fwd_bwd(
+        cfg, forward_instance, rows_budget=rows_budget,
+        bwd_rows_budget=bwd_rows_budget, dtype=dtype, interpret=interpret,
+        fwd_vmem_limit_mb=fwd_vmem_limit_mb,
+        bwd_vmem_limit_mb=bwd_vmem_limit_mb, vox_rows_mode=vox_rows_mode,
+    )
 
     def op_bwd_common(res, g):
         mlp_params, xyz, dir_pe, codes, vox_a, vox_b = res

@@ -303,7 +303,20 @@ class ObjectNeRFSystem:
         if self.voxel_topo is not None:
             self.voxel_topo = replicate(self.voxel_topo, self.mesh)
 
-        self.train_step = make_train_step(
+        # split-program train step (kernel-only XLA programs, the TPU fast
+        # path — train/split_step.py): "auto" enables it on real TPUs for
+        # the shapes it covers; the monolithic jitted step remains the
+        # reference implementation and the fallback
+        from .split_step import make_split_train_step, split_step_supported
+
+        split_cfg = config.get("tpu", {}).get("split_train_step", "auto")
+        use_split = split_step_supported(self.settings, self.voxel_static)
+        if split_cfg == "auto":
+            use_split = use_split and jax.default_backend() == "tpu"
+        else:
+            use_split = use_split and bool(split_cfg)
+        step_maker = make_split_train_step if use_split else make_train_step
+        self.train_step = step_maker(
             self.settings,
             dict(config.loss),
             self.optimizer,

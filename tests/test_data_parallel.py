@@ -9,6 +9,7 @@ all-reduce. Verified on the 8-device virtual CPU mesh.
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import Mesh
 
 from object_nerf_tpu.config import load_config
@@ -21,7 +22,17 @@ def _system(cfg, ds, devices):
     return ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None, mesh=mesh)
 
 
-def test_sharded_step_matches_single_device():
+def _maybe_split(cfg, split):
+    # split=True runs the split-program train step (train/split_step.py,
+    # interpreter-mode kernels) — its hand-threaded cotangents and P8
+    # grad-reduction must preserve the same DDP equivalence
+    if split:
+        cfg.tpu.merge(dict(use_pallas=True, pallas_interpret=True,
+                           split_train_step=True))
+
+
+@pytest.mark.parametrize("split", [False, True])
+def test_sharded_step_matches_single_device(split):
     cfg = load_config()
     cfg.model.merge(
         dict(use_voxel_embedding=False, D=2, W=32, skips=[1], inst_D=2,
@@ -30,6 +41,7 @@ def test_sharded_step_matches_single_device():
     )
     cfg.train.merge(dict(batch_size=128))
     cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0))
+    _maybe_split(cfg, split)
     ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
                           dataset_extra=cfg.dataset_extra)
     batch = ds.sample_batch(128, np.random.RandomState(0))
@@ -58,7 +70,8 @@ def test_sharded_step_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
 
 
-def test_sharded_step_matches_single_device_voxel_path(tmp_path):
+@pytest.mark.parametrize("split", [False, True])
+def test_sharded_step_matches_single_device_voxel_path(tmp_path, split):
     """Voxel-path DDP equivalence: the replicated voxel_topo buffers and the
     feature-table gradient (custom segment-sum VJP → psum over the data
     axis) must leave 1-device and 8-device training in the same state."""
@@ -83,6 +96,7 @@ def test_sharded_step_matches_single_device_voxel_path(tmp_path):
              scene_center=[0.0, 0.0, 0.0], pcd_path=str(pcd_path),
              voxel_size=0.3, neighbor_marks=3)
     )
+    _maybe_split(cfg, split)
     ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=2,
                           dataset_extra=cfg.dataset_extra)
     batch = ds.sample_batch(128, np.random.RandomState(1))

@@ -1,0 +1,142 @@
+"""Split-program train step (train/split_step.py) vs the monolithic jitted
+step — identical state/batch/key must produce matching updated params and
+metrics, classical AND voxel, since the split step re-threads the same
+math (same kernels in interpret mode, same composites/losses, same PRNG
+key schedule) across eight programs with hand-threaded cotangents."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from object_nerf_tpu.models.mlp import ObjectNeRFConfig, init_object_nerf
+from object_nerf_tpu.models.code_library import init_code_library
+from object_nerf_tpu.render.renderer import RenderSettings
+from object_nerf_tpu.train.system import TrainState, make_train_step
+from object_nerf_tpu.train.split_step import (
+    make_split_train_step,
+    split_step_supported,
+)
+
+CFG = ObjectNeRFConfig(
+    D=3, W=64, skips=(1,), inst_D=2, inst_W=32, inst_skips=(1,),
+    use_voxel_embedding=False, N_obj_code_length=16,
+)
+LOSS_W = {
+    "color_loss_weight": 1.0, "depth_loss_weight": 0.1,
+    "opacity_loss_weight": 10.0, "instance_color_loss_weight": 1.0,
+    "instance_depth_loss_weight": 0.1,
+}
+
+
+def _settings(**over):
+    kw = dict(
+        mlp=CFG, N_samples=16, N_importance=8, perturb=1.0, noise_std=1.0,
+        forward_instance=True, is_eval=False, frustum_bound_th=0.1,
+        use_pallas=True, pallas_dtype="float32", pallas_interpret=True,
+    )
+    kw.update(over)
+    return RenderSettings(**kw)
+
+
+def _state(cfg=CFG, optimizer=None, voxel_features=None):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "coarse": init_object_nerf(k1, cfg),
+        "fine": init_object_nerf(k2, cfg),
+        "code_library": init_code_library(k3, 8, 16),
+    }
+    if voxel_features is not None:
+        params["voxel_features"] = voxel_features
+    return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+
+def _batch(n, seed=5):
+    rng = np.random.RandomState(seed)
+    o = rng.randn(n, 3).astype(np.float32) * 0.1
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = np.concatenate(
+        [o, d, np.full((n, 1), 0.5, np.float32),
+         np.full((n, 1), 3.0, np.float32)], -1,
+    )
+    return {
+        "rays": jnp.asarray(rays),
+        "instance_ids": jnp.asarray(rng.randint(0, 8, n)),
+        "rgbs": jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+        "depths": jnp.asarray(
+            (rng.rand(n).astype(np.float32) * 2) * (rng.rand(n) > 0.3)
+        ),
+        "valid_mask": jnp.asarray(rng.rand(n) > 0.1),
+        "instance_mask": jnp.asarray(rng.rand(n) > 0.5),
+        "instance_mask_weight": jnp.asarray(rng.rand(n).astype(np.float32)),
+    }
+
+
+def _compare(settings, voxel_static=None, voxel_features=None, topo=None,
+             n=16):
+    # plain SGD: the one-step param delta IS the gradient, so the compare
+    # checks gradient parity directly. (Under Adam a single step is
+    # ≈ lr·sign(g), which amplifies f32-reassociation noise in near-zero
+    # gradients to ±lr — a property of Adam, not a parity failure.)
+    optimizer = optax.sgd(1.0)
+    lr_sched = optax.constant_schedule(1e-3)
+    batch = _batch(n)
+    key = jax.random.PRNGKey(9)
+
+    mono = make_train_step(settings, LOSS_W, optimizer, voxel_static,
+                           lr_sched, donate=False)
+    split = make_split_train_step(settings, LOSS_W, optimizer,
+                                  voxel_static, lr_sched, donate=False)
+
+    s_m, m_m = mono(_state(settings.mlp, optimizer, voxel_features),
+                    batch, key, topo)
+    s_s, m_s = split(_state(settings.mlp, optimizer, voxel_features),
+                     batch, key, topo)
+
+    for mk in sorted(set(m_m) | set(m_s)):
+        np.testing.assert_allclose(
+            np.asarray(m_s[mk]), np.asarray(m_m[mk]), rtol=2e-4, atol=1e-6,
+            err_msg=f"metric {mk}",
+        )
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(s_m.params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(s_s.params):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_m[path]), rtol=2e-3,
+            atol=2e-6, err_msg=jax.tree_util.keystr(path),
+        )
+    assert int(s_s.step) == int(s_m.step) == 1
+
+
+def test_split_step_classical_matches_monolithic():
+    settings = _settings()
+    assert split_step_supported(settings, None)
+    _compare(settings)
+
+
+def test_split_step_voxel_matches_monolithic():
+    from object_nerf_tpu.models import voxel_grid as vg
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    pts = np.random.RandomState(0).rand(400, 3) * 3 - 1.5
+    features, topo, static = vg.build_voxel_grid(
+        pts, [0, 0, 0], 1.0, 0.4, 3, 24, 2, 20000,
+        key=jax.random.PRNGKey(7),
+    )
+    settings = _settings(mlp=cfg, N_samples=12, N_importance=4)
+    assert split_step_supported(settings, static)
+    _compare(settings, voxel_static=static, voxel_features=features,
+             topo=topo, n=8)
+
+
+def test_split_step_no_instance_branch():
+    settings = _settings(forward_instance=False)
+    _compare(settings)
+
+
+def test_split_step_unsupported_shapes():
+    assert not split_step_supported(_settings(use_pallas=False), None)
+    assert not split_step_supported(_settings(N_importance=0), None)
+    assert not split_step_supported(_settings(fuse_composite=True), None)
