@@ -303,12 +303,21 @@ class ObjectNeRFSystem:
         if self.voxel_topo is not None:
             self.voxel_topo = replicate(self.voxel_topo, self.mesh)
 
-        # split-program train step (kernel-only XLA programs, the TPU fast
-        # path — train/split_step.py): "auto" enables it on real TPUs for
-        # the shapes it covers; the monolithic jitted step remains the
-        # reference implementation and the fallback
+        self.train_step = self._build_train_step()
+        self._render_fns: Dict[int, Any] = {}
+        self.batch_sharding = data_sharding(self.mesh)
+
+    def _build_train_step(self):
+        """Construct the jitted train step against the CURRENT voxel_static
+        (called at init and again after subdivision changes the grid).
+
+        Split-program train step (kernel-only XLA programs, the TPU fast
+        path — train/split_step.py): "auto" enables it on real TPUs for
+        the shapes it covers; the monolithic jitted step remains the
+        reference implementation and the fallback."""
         from .split_step import make_split_train_step, split_step_supported
 
+        config = self.config
         split_cfg = config.get("tpu", {}).get("split_train_step", "auto")
         use_split = split_step_supported(self.settings, self.voxel_static)
         if split_cfg == "auto":
@@ -316,7 +325,7 @@ class ObjectNeRFSystem:
         else:
             use_split = use_split and bool(split_cfg)
         step_maker = make_split_train_step if use_split else make_train_step
-        self.train_step = step_maker(
+        return step_maker(
             self.settings,
             dict(config.loss),
             self.optimizer,
@@ -324,8 +333,6 @@ class ObjectNeRFSystem:
             self.lr_schedule,
             donate=bool(config.get("tpu", {}).get("donate_train_state", True)),
         )
-        self._render_fns: Dict[int, Any] = {}
-        self.batch_sharding = data_sharding(self.mesh)
 
     def _restore(self, state: TrainState, ckpt_path) -> TrainState:
         from .checkpoint import load_any_checkpoint
@@ -482,10 +489,7 @@ class ObjectNeRFSystem:
             self.state = replicate(
                 TrainState(new_params, opt_state, self.state.step), self.mesh
             )
-            self.train_step = make_train_step(
-                self.settings, dict(self.config.loss), self.optimizer,
-                self.voxel_static, self.lr_schedule,
-            )
+            self.train_step = self._build_train_step()
             self._render_fns.clear()
 
     def fit(self, callbacks=None, rng=None):
