@@ -466,33 +466,6 @@ def voxel_lookup_dense(
     return out, ~sample_valid
 
 
-def voxel_lookup_rows(
-    features: jnp.ndarray,
-    topo: VoxelTopology,
-    static: VoxelStatic,
-    xyz: jnp.ndarray,  # (N, 3) normalized coords
-    lowp: bool = True,
-):
-    """Corner ROWS + trilinear weights, weighted sum left to the caller.
-
-    The rows-mode fused train kernels (ops/pallas_mlp_vjp, vox_rows_mode)
-    consume the raw (N, 8·C) gather output and do the trilinear reduction
-    in VMEM; their backward emits the per-corner row cotangent directly,
-    so XLA never materializes the (N, 8, C) expansion or the (N, C)
-    weighted-sum intermediate (both lane-pad to 128 in HBM). Invalid
-    samples are handled by ZEROING their weights — the weighted sum then
-    reproduces voxel_lookup_dense's masking exactly. Gradients to the
-    feature table flow through the same segment-sum VJP
-    (_take_rows[_bf16]) and corner-table-build transpose.
-
-    Returns (rows (N, 8·C) [bf16 when lowp], wts (N, 8) f32).
-    """
-    flat, wts, _ = corner_index_weights(topo, static, xyz)
-    take = _take_rows_bf16 if lowp else _take_rows
-    rows = take(_cell_corner_table(features, topo, static), flat)
-    return rows, wts
-
-
 def _dense_path_ok(static: VoxelStatic) -> bool:
     n_pcells = (static.shape[0] + 1) * (static.shape[1] + 1) * (static.shape[2] + 1)
     return n_pcells * 8 * static.channels * 4 <= DENSE_CELL_TABLE_LIMIT_BYTES

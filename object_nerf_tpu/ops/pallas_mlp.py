@@ -145,56 +145,9 @@ def _dot(a, w, dt):
     )
 
 
-def _rows_from_lanes(x, r: int, s: int, chunk: int = 8):
-    """(r, s) → (r·s, 1): row i·s+j takes x[i, j] (ray-major row layout).
-
-    Mosaic cannot lower a direct (r, s)→(r·s, 1) reshape ("unsupported
-    shape cast" — the lane dimension changes), but it CAN lower the
-    (r, c, C)→(r·c, C) broadcast-reshape (lane dim preserved; same pattern
-    as _broadcast_rows, proven on hardware). So: for each `chunk`-lane
-    window, replicate the window to per-sample rows and select lane
-    pos−j0 on row i·s+j with a static iota mask, lane-reduce, accumulate.
-    Chunking bounds the live temporary at (r·s, chunk) — the full-width
-    variant's (r·s, s) temps blew scoped VMEM at 4096-row tiles."""
-    pos = jax.lax.broadcasted_iota(jnp.int32, (r * s, chunk), 0) % s
-    lane = jax.lax.broadcasted_iota(jnp.int32, (r * s, chunk), 1)
-    out = jnp.zeros((r * s, 1), x.dtype)
-    for j0 in range(0, s, chunk):
-        c = min(chunk, s - j0)
-        rows = _broadcast_rows(x[:, j0 : j0 + c], s)  # (r·s, c)
-        sel = jnp.where(
-            lane[:, :c] == pos[:, :c] - j0, rows, jnp.zeros_like(rows)
-        )
-        out = out + jnp.sum(sel, axis=-1, keepdims=True)
-    return out
-
-
 def _broadcast_rows(per_ray, s: int):
     r, c = per_ray.shape
     return jnp.broadcast_to(per_ray[:, None, :], (r, s, c)).reshape(r * s, c)
-
-
-def _trilinear_reduce(rows, wts, channels: int):
-    """(RS, 8·C) corner rows × (RS, 8) weights → (RS, C) f32 in-kernel.
-
-    The rows-mode voxel fetch: 8 static lane slices, a multiply and an add
-    each — cheap VPU work on data already streaming through VMEM, replacing
-    the XLA weighted-sum pass (whose (RS, C) f32 intermediate lane-pads to
-    128 in HBM)."""
-    out = None
-    for j in range(8):
-        term = (wts[:, j : j + 1]
-                * rows[:, j * channels : (j + 1) * channels].astype(
-                    jnp.float32))
-        out = term if out is None else out + term
-    return out
-
-
-def _trilinear_expand(d_vox, wts, channels: int):
-    """VJP of _trilinear_reduce wrt rows: (RS, C) × (RS, 8) → (RS, 8·C)."""
-    return jnp.concatenate(
-        [wts[:, j : j + 1] * d_vox for j in range(8)], axis=-1
-    )
 
 
 def _eval_branches(
@@ -207,16 +160,13 @@ def _eval_branches(
     dt,
     compute_scene: bool = True,
     sigma_only: bool = False,
-    voxel_value=None,
 ):
     """Shared branch evaluation: returns (sigma, rgb, i_sigma, i_rgb) as
     (RS, 1)/(RS, 3) arrays (instance outputs None when disabled; scene
     outputs None when compute_scene=False — the editable renderer evaluates
     objects through the instance branch alone, multi_rendering.py:63-68).
     sigma_only skips the rgb heads entirely (no dir/code operands): the
-    coarse eval pass only needs scene density for the importance pdf.
-    voxel_value: precomputed (RS, C_vox) features (rows-mode callers reduce
-    corner rows in-kernel) — takes precedence over the voxel data ref."""
+    coarse eval pass only needs scene density for the importance pdf."""
     if sigma_only:
         xyz_ref, dir_ref, code_ref = data_refs[0], None, None
     else:
@@ -247,10 +197,7 @@ def _eval_branches(
     # classical:  [x(3), x_sin(60)]
     ivox_h = ivox_sin_h = None
     if use_voxel:
-        if voxel_value is not None:
-            raw = voxel_value  # (RS, C_vox)
-        else:
-            raw = data_refs[1 if sigma_only else 3][:]  # (RS, C_vox)
+        raw = data_refs[1 if sigma_only else 3][:]  # (RS, C_vox)
         svox_h = halves(raw[:, : cfg.N_scn_voxel_size])
         svox_sin_h = [pe(x, "pe_svox_S", "pe_svox_phase") for x in svox_h]
         if forward_instance:
@@ -341,22 +288,16 @@ def _mlp_kernel(
     use_voxel: bool,
     forward_instance: bool,
     compute_scene: bool,
-    vox_rows_mode: bool = False,
     dtype,
 ):
-    n_data = (5 if vox_rows_mode else 4) if use_voxel else 3
+    n_data = 4 if use_voxel else 3
     data_refs = refs[:n_data]
     w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
     out_ref = refs[-1]
 
-    voxel_value = None
-    if vox_rows_mode:
-        voxel_value = _trilinear_reduce(
-            data_refs[3][:], data_refs[4][:], cfg.N_scn_voxel_size + cfg.N_obj_voxel_size
-        )
     sigma, rgb, i_sigma, i_rgb = _eval_branches(
         data_refs, w, cfg, n_samples, use_voxel, forward_instance, dtype,
-        compute_scene=compute_scene, voxel_value=voxel_value,
+        compute_scene=compute_scene,
     )
     rows = out_ref.shape[0]
     if sigma is None:
@@ -476,8 +417,6 @@ def fused_mlp_eval(
     dir_pe: jnp.ndarray,  # (n_rays, C_dir) — frequency-encoded directions
     obj_codes: Optional[jnp.ndarray] = None,  # (n_rays, C_code)
     voxel_raw: Optional[jnp.ndarray] = None,  # (n_rays, S, C_vox)
-    voxel_rows: Optional[jnp.ndarray] = None,  # (n_rays, S, 8·C_vox)
-    voxel_wts: Optional[jnp.ndarray] = None,  # (n_rays, S, 8)
     forward_instance: bool = True,
     compute_scene: bool = True,
     rays_per_tile: Optional[int] = None,
@@ -492,17 +431,12 @@ def fused_mlp_eval(
     — measured sweet spot on v5e: big enough to fill the MXU, small enough
     that the f32 activations (rows × W) stay within the VMEM budget.
 
-    Voxel features arrive EITHER pre-reduced (`voxel_raw`) or as raw corner
-    rows + trilinear weights (`voxel_rows`/`voxel_wts`, rows mode) with the
-    weighted sum done in-kernel (_trilinear_reduce).
-
     Returns (sigma (n_rays,S), rgb (n_rays,S,3), inst_sigma, inst_rgb);
     instance outputs are zeros when forward_instance=False.
     """
     n_rays, s, _ = xyz.shape
     use_voxel = cfg.use_voxel_embedding
-    vox_rows_mode = voxel_rows is not None
-    if use_voxel and voxel_raw is None and not vox_rows_mode:
+    if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
     if rays_per_tile is None:
@@ -531,17 +465,7 @@ def fused_mlp_eval(
         pl.BlockSpec((r, obj_codes.shape[-1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if use_voxel and vox_rows_mode:
-        rows_flat = voxel_rows.reshape(n_rays * s, -1)
-        wts_flat = voxel_wts.reshape(n_rays * s, 8)
-        inputs.extend([rows_flat, wts_flat])
-        in_specs.extend([
-            pl.BlockSpec((rows, rows_flat.shape[-1]), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ])
-    elif use_voxel:
+    if use_voxel:
         vox_flat = voxel_raw.reshape(n_rays * s, -1)
         inputs.append(vox_flat)
         in_specs.append(
@@ -559,7 +483,6 @@ def fused_mlp_eval(
         use_voxel=use_voxel,
         forward_instance=forward_instance,
         compute_scene=compute_scene,
-        vox_rows_mode=vox_rows_mode,
         dtype=dtype,
     )
     out = pl.pallas_call(
@@ -612,56 +535,6 @@ def _composite_weights(sig, dl, r, s):
     return alphas * _trans_from_alphas(alphas, r, s)
 
 
-def _suffix_sum_excl(p, r, s):
-    """S_j = Σ_{i>j} p_i along lanes (exclusive suffix sum), Hillis-Steele."""
-    y = p
-    k = 1
-    while k < s:
-        pad = jnp.zeros((r, k), y.dtype)
-        y = y + jnp.concatenate([y[:, k:], pad], axis=-1)
-        k *= 2
-    return y - p
-
-
-def _composite_bwd(
-    d_rgbmap, d_depth, d_op,  # (r, 3), (r, 1), (r, 1) map cotangents
-    alphas, trans, wts,  # (r, s) composite intermediates (post-suppression)
-    z, dl, sig, rgb_rows,  # (r, s), (r, s), (r, s) pre-relu σ(+noise), (rs, 3)
-    r, s,
-    zero_mask=None,  # (r, s) bool — suppressed alphas get zero cotangent
-):
-    """VJP of maps_from(alpha-composite) → (d_sig (r,s), d_rgb_rows (rs,3)).
-
-    w_i = a_i·T_i with T_i = Π_{j<i}(1-a_j+ε):
-      d_w_i  = Σ_c d_rgbmap_c·rgb_ic + d_depth·z_i + d_op
-      d_a_j  = T_j·d_w_j − (Σ_{i>j} a_i·d_w_i·T_i) / (1-a_j+ε)
-      d_σ_j  = d_a_j · δ_j · exp(−δ_j·relu(σ_j)) · [σ_j > 0]
-    (the same division form XLA's derived cumprod gradient uses; T_i
-    carries the (1-a_j+ε) factor for i>j so the ratio stays bounded).
-    rgb cotangent: d_rgb_ic = w_i · d_rgbmap_c.
-    """
-    d_w = d_depth * z + d_op  # (r, s), via broadcast over lanes
-    for c in range(3):
-        d_w = d_w + d_rgbmap[:, c : c + 1] * rgb_rows[:, c].reshape(r, s)
-    suffix = _suffix_sum_excl(alphas * d_w * trans, r, s)
-    # NOT `1.0 - alphas + 1e-10`: XLA reassociates that into
-    # (1.0 + 1e-10) - alphas, which rounds to 1.0 - alphas in f32 and hits
-    # an exact 0 at saturated alphas → inf, then inf·0 = NaN in d_sig. The
-    # max() blocks the constant folding and floors the denominator.
-    den = jnp.maximum(1.0 - alphas, 0.0) + 1e-10
-    d_alpha = trans * d_w - suffix / den
-    if zero_mask is not None:
-        d_alpha = jnp.where(zero_mask, jnp.zeros_like(d_alpha), d_alpha)
-    relu_sig = jnp.maximum(sig, 0.0)
-    d_sig = d_alpha * dl * jnp.exp(-dl * relu_sig)
-    d_sig = jnp.where(sig > 0, d_sig, jnp.zeros_like(d_sig))
-    # d_rgb[row (i,j), c] = w_ij · d_rgbmap_ic: one lane→row relayout of
-    # the weights, then a cheap per-ray broadcast of the map cotangent
-    wts_rows = _rows_from_lanes(wts, r, s)  # (r·s, 1)
-    d_rgb_rows = wts_rows * _broadcast_rows(d_rgbmap, s)
-    return d_sig, d_rgb_rows
-
-
 def _render_kernel(
     *refs,
     cfg: ObjectNeRFConfig,
@@ -672,17 +545,12 @@ def _render_kernel(
     forward_instance: bool,
     last_delta_inf: bool,
     want_weights: bool,
-    train_mode: bool,
-    frustum_bound_th: float,
-    weights_from_instance: bool,
     dtype,
 ):
     n_mlp = 4 if use_voxel else 3
-    n_data = n_mlp + 1 + (3 if train_mode else 0)  # + z (+ noises, pt)
+    n_data = n_mlp + 1  # + z
     data_refs = refs[:n_data]
     z_ref = data_refs[n_mlp]
-    if train_mode:
-        noise_s_ref, noise_i_ref, pt_ref = data_refs[n_mlp + 1 : n_mlp + 4]
     n_out = 2 if want_weights else 1
     w = {name: ref[:] for name, ref in zip(names, refs[n_data:-n_out])}
     maps_ref = refs[-n_out]
@@ -709,8 +577,6 @@ def _render_kernel(
         return jnp.concatenate(chans + [depth, opacity], axis=-1)  # (R, 5)
 
     sig_s = sigma[:, 0].reshape(r, s)
-    if train_mode:
-        sig_s = sig_s + noise_s_ref[:]
     scene_w = _composite_weights(sig_s, deltas_scene, r, s)
     scene_maps = maps_from(scene_w, rgb)
     if forward_instance:
@@ -718,19 +584,7 @@ def _render_kernel(
             [deltas, jnp.zeros((r, 1), jnp.float32)], axis=-1
         )
         sig_i = i_sigma[:, 0].reshape(r, s)
-        if train_mode:
-            sig_i = sig_i + noise_i_ref[:]
         alphas_i = _alphas_from_sig(sig_i, deltas_inst)
-        if train_mode and frustum_bound_th > 0:
-            # occlusion-aware suppression (rendering.py:192-202): object
-            # alphas beyond scene depth + th are zeroed unless the ray is
-            # in the pass-through mask. The mask is piecewise-constant —
-            # no gradient flows through it (matches torch autograd).
-            scene_depth = scene_maps[:, 3:4]
-            occluded = (scene_depth + frustum_bound_th) < z
-            keep = pt_ref[:] > 0.5  # (R, S) 0/1 pass-through mask
-            suppress = jnp.logical_and(occluded, jnp.logical_not(keep))
-            alphas_i = jnp.where(suppress, 0.0, alphas_i)
         inst_w = alphas_i * _trans_from_alphas(alphas_i, r, s)
         inst_maps = maps_from(inst_w, i_rgb)
         # instance rgb is always white-backed (rendering.py:221-223)
@@ -744,11 +598,7 @@ def _render_kernel(
         pad = jnp.zeros((r, 11), jnp.float32)
         maps_ref[:] = jnp.concatenate([scene_maps, pad], axis=-1)
     if want_weights:
-        # instance pdf weights need the instance branch; without it the
-        # XLA path keeps scene weights too (rendering.py:228-229 only
-        # swaps inside its forward_instance branch)
-        use_inst = weights_from_instance and forward_instance
-        weights_ref[:] = inst_w if use_inst else scene_w
+        weights_ref[:] = scene_w
 
 
 def fused_render_tiles(
@@ -763,11 +613,6 @@ def fused_render_tiles(
     last_delta_inf: bool = True,
     want_weights: bool = False,
     white_back: bool = False,
-    noise_scene: Optional[jnp.ndarray] = None,  # (n_rays, S) train-mode noise
-    noise_inst: Optional[jnp.ndarray] = None,
-    pass_through: Optional[jnp.ndarray] = None,  # (n_rays, S) 0/1 mask
-    frustum_bound_th: float = 0.0,
-    weights_from_instance: bool = False,
     rows_budget: int = 2048,
     dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -777,12 +622,8 @@ def fused_render_tiles(
     VMEM. HBM sees only per-ray inputs/outputs (plus xyz/voxel per sample) —
     the (rays·samples, 8) intermediate of `fused_mlp_eval` never exists.
 
-    Eval semantics by default. Passing `noise_scene`/`noise_inst` switches
-    to TRAIN-mode compositing (rendering.py:140-229): sigma noise added
-    pre-relu and, when frustum_bound_th > 0, occlusion-aware instance
-    alpha suppression exempted by `pass_through`. `weights_from_instance`
-    emits the instance weights for the pdf (rays_in_bbox,
-    rendering.py:228-229).
+    Deterministic eval semantics (perturb=0/noise=0 — the train step
+    composites in XLA outside the kernel programs; train/split_step.py).
 
     Returns a dict: rgb (n,3), depth (n,), opacity (n,), and when
     forward_instance also rgb_instance/depth_instance/opacity_instance,
@@ -792,23 +633,11 @@ def fused_render_tiles(
     use_voxel = cfg.use_voxel_embedding
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
-    train_mode = noise_scene is not None
 
     r = max(1, rows_budget // s)
     r = min(r, n_rays)
     while n_rays % r:
         r -= 1
-    if train_mode and r % 8:
-        # train mode ships per-ray (r, S) noise/pt blocks; Mosaic wants
-        # the sublane block dim divisible by 8
-        if n_rays % 8:
-            raise ValueError(
-                f"train-mode fused render needs n_rays divisible by 8, "
-                f"got {n_rays}"
-            )
-        r = max(8, (r // 8) * 8)
-        while n_rays % r:
-            r -= 8
     rows = r * s
     grid = (n_rays // r,)
 
@@ -837,17 +666,6 @@ def fused_render_tiles(
     in_specs.append(
         pl.BlockSpec((r, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
     )
-    if train_mode:
-        if noise_inst is None:
-            noise_inst = jnp.zeros_like(noise_scene)
-        if pass_through is None:
-            pass_through = jnp.zeros((n_rays, s), jnp.float32)
-        for extra in (noise_scene, noise_inst, pass_through):
-            inputs.append(extra)
-            in_specs.append(
-                pl.BlockSpec((r, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
     inputs.extend(weight_arrays)
     in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays)
 
@@ -861,9 +679,6 @@ def fused_render_tiles(
         forward_instance=forward_instance,
         last_delta_inf=last_delta_inf,
         want_weights=want_weights,
-        train_mode=train_mode,
-        frustum_bound_th=frustum_bound_th,
-        weights_from_instance=weights_from_instance,
         dtype=dtype,
     )
 

@@ -25,7 +25,7 @@ from the stashed output.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ from ..models.mlp import ObjectNeRFConfig, LEAKY_SLOPE
 from .pallas_mlp import (
     prepare_kernel_weights,
     fused_mlp_eval,
-    fused_render_tiles,
     pe_uses_turns,
     TWO_PI,
     _broadcast_rows,
@@ -77,22 +76,14 @@ def _bwd_kernel(
     use_voxel: bool,
     forward_instance: bool,
     per_ray_blocks: bool,
-    composite_mode: bool = False,
-    vox_rows_mode: bool = False,
-    last_delta_inf: bool = True,
-    frustum_bound_th: float = 0.0,
     dtype,
 ):
     """Backward over one ray tile.
 
-    Inputs: [xyz, dir_pe, codes, voxel_raw?, (z, noise_s, noise_i, pt,)
-    g(…)] + weights. Plain mode: g is the per-sample (RS, 8) MLP-output
-    cotangent computed by XLA. composite_mode: the kernel ALSO owns the
-    alpha-compositing VJP — g is the per-ray (R, 10) MAP cotangent
-    [d_rgb(3), d_depth, d_op, d_irgb(3), d_idepth, d_iop]; the composite
-    forward is recomputed in VMEM (with the train-path sigma noise and
-    occlusion suppression) and _composite_bwd turns map cotangents into
-    per-sample σ/rgb cotangents before the MLP reverse sweep.
+    Inputs: [xyz, dir_pe, codes, voxel_raw?, g] + weights — g is the
+    per-sample (RS, 8) MLP-output cotangent computed by XLA (the
+    compositing/loss VJP runs outside the kernel program; the
+    split-program step keeps that glue in kernel-free programs).
     per_ray_blocks: dir_pe/codes arrive as (R, C) per-ray blocks and are
     broadcast to per-sample rows in-kernel (saves the pre-repeated (RS, C)
     HBM round-trip); requires the ray-tile R to be sublane-aligned —
@@ -100,14 +91,11 @@ def _bwd_kernel(
     Outputs: [d_<weight> ...] (accumulated), d_codes (RS, Cc)
              [, d_voxel_raw (RS, C_vox)].
     """
-    n_mlp = (5 if vox_rows_mode else 4) if use_voxel else 3
-    n_data = n_mlp + (5 if composite_mode else 1)
+    n_mlp = 4 if use_voxel else 3
+    n_data = n_mlp + 1
     data_refs = refs[:n_data]
     xyz_ref, dir_ref, code_ref = data_refs[:3]
     vox_ref = data_refs[3] if use_voxel else None
-    wts_ref = data_refs[4] if (use_voxel and vox_rows_mode) else None
-    if composite_mode:
-        z_ref, noise_s_ref, noise_i_ref, pt_ref = data_refs[n_mlp : n_mlp + 4]
     g_ref = data_refs[-1]
 
     n_w = len(names)
@@ -146,16 +134,7 @@ def _bwd_kernel(
                  for x in xyz_h]
     xyz_sin_h = [sinf(p) for p in pre_xyz_h]
     if use_voxel:
-        n_vox_c = cfg.N_scn_voxel_size + cfg.N_obj_voxel_size
-        if vox_rows_mode:
-            from .pallas_mlp import _trilinear_expand, _trilinear_reduce
-
-            wts_h = halves(wts_ref[:])
-            raw_h = halves(
-                _trilinear_reduce(vox_ref[:], wts_ref[:], n_vox_c)
-            )
-        else:
-            raw_h = halves(vox_ref[:])
+        raw_h = halves(vox_ref[:])
         svox_h = [raw[:, : cfg.N_scn_voxel_size] for raw in raw_h]
         ivox_h = [raw[:, cfg.N_scn_voxel_size :] for raw in raw_h]
         pre_svox_h = [
@@ -183,8 +162,7 @@ def _bwd_kernel(
 
     dir_pe_h = halves(rowify(dir_ref))  # (RS, C_dir)
 
-    if not composite_mode:
-        g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
+    g_h = halves(g_ref[:])  # (RS, 8): [gσ, g_rgb(3), g_iσ, g_irgb(3)]
 
     def acc(name, vals):
         @pl.when(first)
@@ -237,13 +215,7 @@ def _bwd_kernel(
             )
             for k in H
         ]
-        sig_h = None
-        if composite_mode:  # composite recompute needs the σ values
-            sig_h = [
-                _dot(h_h[k], w[f"{tag}_sigma_w"], dt) + w[f"{tag}_sigma_b"]
-                for k in H
-            ]
-        return hs_h, hf_h, denc_h, rgb_h, sig_h
+        return hs_h, hf_h, denc_h, rgb_h
 
     def branch_bwd(tag, depth, skips, cat_h, hs_h, hf_h, denc_h, rgb_h,
                    g_sigma_h, g_rgb_h, need_cat_grad):
@@ -318,9 +290,7 @@ def _bwd_kernel(
         for k in H
     ]
     n_svox_cols = cfg.N_scn_voxel_size * (1 + 2 * cfg.N_freq_voxel)
-    hs_h, hf_h, denc_h, rgb_h, sig_h = branch_fwd(
-        "s", cfg.D, cfg.skips, cat_s_h
-    )
+    hs_h, hf_h, denc_h, rgb_h = branch_fwd("s", cfg.D, cfg.skips, cat_s_h)
     c_in_s = cat_s_h[0].shape[-1]
     if forward_instance:
         codes_h = halves(rowify(code_ref))  # (RS, Cc)
@@ -335,75 +305,16 @@ def _bwd_kernel(
             )
             for k in H
         ]
-        hso_h, hfo_h, denco_h, rgbo_h, sigo_h = branch_fwd(
+        hso_h, hfo_h, denco_h, rgbo_h = branch_fwd(
             "o", cfg.inst_D, cfg.inst_skips, cat_o_h
         )
 
     # ---- per-sample cotangents --------------------------------------------
-    if composite_mode:
-        from .pallas_mlp import (
-            _alphas_from_sig, _composite_bwd, _rows_from_lanes,
-            _trans_from_alphas,
-        )
-
-        r, s = n_rays_tile, n_samples
-        z = z_ref[:]
-        deltas = z[:, 1:] - z[:, :-1]
-        last = jnp.full((r, 1), 1e10 if last_delta_inf else 0.0, jnp.float32)
-        dl_s = jnp.concatenate([deltas, last], axis=-1)
-        g_maps = g_ref[:]  # (R, 10)
-
-        # (RS, 1) -> (r, s) via the 1-D slice-then-reshape pattern the
-        # fwd kernel uses (a direct 2-D lane-changing reshape won't lower)
-        sig_s = (
-            jnp.concatenate(sig_h, axis=0)[:, 0].reshape(r, s)
-            + noise_s_ref[:]
-        )
-        rgb_s_rows = jnp.concatenate(rgb_h, axis=0)  # (RS, 3)
-        alphas_s = _alphas_from_sig(sig_s, dl_s)
-        trans_s = _trans_from_alphas(alphas_s, r, s)
-        wts_s = alphas_s * trans_s
-        d_sig_s, d_rgb_s = _composite_bwd(
-            g_maps[:, 0:3], g_maps[:, 3:4], g_maps[:, 4:5],
-            alphas_s, trans_s, wts_s, z, dl_s, sig_s, rgb_s_rows, r, s,
-        )
-        g_sigma_s_h = halves(_rows_from_lanes(d_sig_s, r, s))
-        g_rgb_s_h = halves(d_rgb_s)
-        if forward_instance:
-            dl_i = jnp.concatenate(
-                [deltas, jnp.zeros((r, 1), jnp.float32)], axis=-1
-            )
-            sig_i = (
-                jnp.concatenate(sigo_h, axis=0)[:, 0].reshape(r, s)
-                + noise_i_ref[:]
-            )
-            rgb_i_rows = jnp.concatenate(rgbo_h, axis=0)
-            alphas_i = _alphas_from_sig(sig_i, dl_i)
-            suppress = None
-            if frustum_bound_th > 0:
-                scene_depth = jnp.sum(wts_s * z, axis=-1, keepdims=True)
-                occluded = (scene_depth + frustum_bound_th) < z
-                keep = pt_ref[:] > 0.5
-                suppress = jnp.logical_and(occluded, jnp.logical_not(keep))
-                alphas_i = jnp.where(suppress, 0.0, alphas_i)
-            trans_i = _trans_from_alphas(alphas_i, r, s)
-            wts_i = alphas_i * trans_i
-            # instance maps are white-backed in-kernel: out_rgb = rgb+(1-op)
-            d_irgb = g_maps[:, 5:8]
-            d_iop = g_maps[:, 9:10] - jnp.sum(d_irgb, axis=-1, keepdims=True)
-            d_sig_i, d_rgb_i = _composite_bwd(
-                d_irgb, g_maps[:, 8:9], d_iop,
-                alphas_i, trans_i, wts_i, z, dl_i, sig_i, rgb_i_rows, r, s,
-                zero_mask=suppress,
-            )
-            g_sigma_o_h = halves(_rows_from_lanes(d_sig_i, r, s))
-            g_rgb_o_h = halves(d_rgb_i)
-    else:
-        g_sigma_s_h = [g[:, 0:1] for g in g_h]
-        g_rgb_s_h = [g[:, 1:4] for g in g_h]
-        if forward_instance:
-            g_sigma_o_h = [g[:, 4:5] for g in g_h]
-            g_rgb_o_h = [g[:, 5:8] for g in g_h]
+    g_sigma_s_h = [g[:, 0:1] for g in g_h]
+    g_rgb_s_h = [g[:, 1:4] for g in g_h]
+    if forward_instance:
+        g_sigma_o_h = [g[:, 4:5] for g in g_h]
+        g_rgb_o_h = [g[:, 5:8] for g in g_h]
 
     # ---- reverse sweeps ----------------------------------------------------
     d_cat_s_h = branch_bwd(
@@ -458,13 +369,7 @@ def _bwd_kernel(
             else:
                 d_ivox_full = jnp.zeros((blk, cfg.N_obj_voxel_size),
                                         jnp.float32)
-            d_vox = jnp.concatenate([d_svox, d_ivox_full], axis=-1)
-            if vox_rows_mode:
-                # emit the per-corner row cotangent directly (VJP of the
-                # in-kernel trilinear reduce) — XLA never materializes the
-                # (RS, 8, C) expansion
-                d_vox = _trilinear_expand(d_vox, wts_h[k], n_vox_c)
-            d_vox_parts.append(d_vox)
+            d_vox_parts.append(jnp.concatenate([d_svox, d_ivox_full], axis=-1))
         d_vox_ref[:] = jnp.concatenate(d_vox_parts, axis=0)
 
     # PE matrices and phases receive no gradient (constants)
@@ -510,43 +415,19 @@ def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
 def _run_bwd(
     mlp_params, xyz, dir_pe, codes, voxel_raw, g_array,
     *, cfg, forward_instance, bwd_rows_budget, dtype, interpret,
-    composite=None, bwd_vmem_limit_mb: int = 117, voxel_wts=None,
+    bwd_vmem_limit_mb: int = 117,
 ):
     """Launch the backward kernel over ray tiles and reassemble gradients.
 
-    Plain mode (composite=None): g_array is the (RS, 8) per-sample MLP
-    output cotangent. composite mode: composite is a dict with z_vals,
-    noise_scene, noise_inst, pass_through ((n, S) each), last_delta_inf,
-    frustum_bound_th — g_array is the (n, 10) per-ray MAP cotangent and
-    the kernel owns the compositing VJP.
-
-    voxel_wts set = rows mode: voxel_raw carries the (n, S, 8·C) corner
-    rows, the trilinear reduce/expand happens in-kernel, and d_vox is the
-    per-corner row cotangent (same shape as voxel_raw).
+    g_array is the (RS, 8) per-sample MLP output cotangent (the
+    compositing/loss VJP is XLA's job, outside the kernel program).
     """
-    vox_rows_mode = voxel_wts is not None
     use_voxel = cfg.use_voxel_embedding
     n_rays, s, _ = xyz.shape
-    if composite is not None:
-        # the composite prologue's relayout temporaries push the backward
-        # stash past v5e VMEM at 4096-row tiles (139-146M of 128M
-        # measured, classical AND voxel) — 3/4 budget fits
-        bwd_rows_budget = (3 * bwd_rows_budget) // 4
     r = max(1, bwd_rows_budget // s)
     r = min(r, n_rays)
     while n_rays % r:
         r -= 1
-    if composite is not None and r % 8:
-        # composite mode ships per-ray (r, S)/(r, 10) blocks with no
-        # pre-repeat fallback; Mosaic wants the sublane block dim
-        # divisible by 8
-        if n_rays % 8:
-            raise ValueError(
-                f"fuse_composite needs n_rays divisible by 8, got {n_rays}"
-            )
-        r = max(8, (r // 8) * 8)
-        while n_rays % r:
-            r -= 8
     rows = r * s
     grid = (n_rays // r,)
 
@@ -580,29 +461,10 @@ def _run_bwd(
             pl.BlockSpec((rows, vox_flat.shape[-1]), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
-        if vox_rows_mode:
-            inputs.append(voxel_wts.reshape(n_rays * s, 8))
-            in_specs.append(
-                pl.BlockSpec((rows, 8), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-    if composite is not None:
-        for arr in (composite["z_vals"], composite["noise_scene"],
-                    composite["noise_inst"], composite["pass_through"]):
-            inputs.append(arr)
-            in_specs.append(
-                pl.BlockSpec((r, s), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-            )
-        inputs.append(g_array)  # (n, 10) per-ray map cotangent
-        in_specs.append(
-            pl.BlockSpec((r, 10), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
-    else:
-        inputs.append(g_array)
-        in_specs.append(
-            pl.BlockSpec((rows, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        )
+    inputs.append(g_array)
+    in_specs.append(
+        pl.BlockSpec((rows, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
     inputs.extend(weight_arrays)
     in_specs.extend(
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays
@@ -639,10 +501,6 @@ def _run_bwd(
         cfg=cfg, n_samples=s, n_rays_tile=r, names=names,
         use_voxel=use_voxel, forward_instance=forward_instance,
         per_ray_blocks=per_ray_blocks,
-        composite_mode=composite is not None,
-        vox_rows_mode=vox_rows_mode,
-        last_delta_inf=(composite or {}).get("last_delta_inf", True),
-        frustum_bound_th=(composite or {}).get("frustum_bound_th", 0.0),
         dtype=dtype,
     )
     outs = pl.pallas_call(
@@ -680,7 +538,6 @@ def make_fused_fwd_bwd(
     interpret: bool = False,
     fwd_vmem_limit_mb: int = 100,
     bwd_vmem_limit_mb: int = 117,
-    vox_rows_mode: bool = False,
 ):
     """Raw (fwd, bwd) kernel launchers for externally-orchestrated
     differentiation.
@@ -690,32 +547,26 @@ def make_fused_fwd_bwd(
     kernel-only XLA programs (XLA ops sharing a program with a large-VMEM
     Pallas call run 2-4× slower — see renderer.make_fused_eval_stages).
 
-        fwd(mlp_params, xyz, dir_pe, codes, vox_a, vox_b)
+        fwd(mlp_params, xyz, dir_pe, codes, voxel_raw | None)
             -> (sigma (n,S), rgb, inst_sigma, inst_rgb)
-        bwd(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out (n·S, 8))
+        bwd(mlp_params, xyz, dir_pe, codes, voxel_raw | None, g_out (n·S, 8))
             -> (d_mlp_params, d_codes (n,Cc), d_vox | None)
-
-    vox_a/vox_b are (voxel_raw, None), or (voxel_rows, voxel_wts) in
-    vox_rows_mode, or (None, None) for the classical-PE path.
     """
 
-    def fwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b):
-        kw = (dict(voxel_rows=vox_a, voxel_wts=vox_b) if vox_rows_mode
-              else dict(voxel_raw=vox_a))
+    def fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw):
         return fused_mlp_eval(
             mlp_params, cfg, xyz, dir_pe, codes,
-            forward_instance=forward_instance,
+            forward_instance=forward_instance, voxel_raw=voxel_raw,
             rows_budget=rows_budget, dtype=dtype, interpret=interpret,
-            vmem_limit_mb=fwd_vmem_limit_mb, **kw,
+            vmem_limit_mb=fwd_vmem_limit_mb,
         )
 
-    def bwd_impl(mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out):
+    def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
         return _run_bwd(
-            mlp_params, xyz, dir_pe, codes, vox_a, g_out,
+            mlp_params, xyz, dir_pe, codes, voxel_raw, g_out,
             cfg=cfg, forward_instance=forward_instance,
             bwd_rows_budget=bwd_rows_budget, dtype=dtype,
             interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
-            voxel_wts=vox_b if vox_rows_mode else None,
         )
 
     return fwd_impl, bwd_impl
@@ -731,7 +582,6 @@ def make_fused_mlp_op(
     interpret: bool = False,
     fwd_vmem_limit_mb: int = 100,
     bwd_vmem_limit_mb: int = 117,
-    vox_rows_mode: bool = False,
 ):
     """Build the differentiable fused-MLP op for a given architecture.
 
@@ -739,22 +589,24 @@ def make_fused_mlp_op(
         op(mlp_params, xyz (n,S,3), dir_pe (n,Cd), codes (n,Cc),
            voxel_raw (n,S,Cv) | None)
         -> (sigma (n,S), rgb (n,S,3), inst_sigma, inst_rgb)
-
-    vox_rows_mode: the voxel input is (voxel_rows (n,S,8·Cv),
-    voxel_wts (n,S,8)) instead of pre-reduced features — the trilinear
-    weighted sum runs in-kernel and the rows cotangent is emitted directly
-    (feeds the segment-sum table grad with no XLA expansion pass):
-        op(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts)
     """
     fwd_impl, bwd_impl = make_fused_fwd_bwd(
         cfg, forward_instance, rows_budget=rows_budget,
         bwd_rows_budget=bwd_rows_budget, dtype=dtype, interpret=interpret,
         fwd_vmem_limit_mb=fwd_vmem_limit_mb,
-        bwd_vmem_limit_mb=bwd_vmem_limit_mb, vox_rows_mode=vox_rows_mode,
+        bwd_vmem_limit_mb=bwd_vmem_limit_mb,
     )
 
-    def op_bwd_common(res, g):
-        mlp_params, xyz, dir_pe, codes, vox_a, vox_b = res
+    @jax.custom_vjp
+    def op(mlp_params, xyz, dir_pe, codes, voxel_raw):
+        return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw)
+
+    def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_raw):
+        out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw)
+        return out, (mlp_params, xyz, dir_pe, codes, voxel_raw)
+
+    def op_bwd(res, g):
+        mlp_params, xyz, dir_pe, codes, voxel_raw = res
         g_sigma, g_rgb, g_isigma, g_irgb = g
         n, s = g_sigma.shape
         g_out = jnp.concatenate(
@@ -767,135 +619,12 @@ def make_fused_mlp_op(
             axis=-1,
         )
         d_params, d_codes, d_vox = bwd_impl(
-            mlp_params, xyz, dir_pe, codes, vox_a, vox_b, g_out
+            mlp_params, xyz, dir_pe, codes, voxel_raw, g_out
         )
         # sample positions / ray directions never feed trainable params here
         return (d_params, jnp.zeros_like(xyz), jnp.zeros_like(dir_pe),
                 d_codes, d_vox)
 
-    if vox_rows_mode:
-
-        @jax.custom_vjp
-        def op(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts):
-            return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_rows,
-                            voxel_wts)
-
-        def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_rows, voxel_wts):
-            out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_rows,
-                           voxel_wts)
-            return out, (mlp_params, xyz, dir_pe, codes, voxel_rows,
-                         voxel_wts)
-
-        def op_bwd(res, g):
-            *grads, d_rows = op_bwd_common(res, g)
-            # trilinear weights are a (non-trainable) function of xyz
-            return (*grads, d_rows, jnp.zeros_like(res[5]))
-
-    else:
-
-        @jax.custom_vjp
-        def op(mlp_params, xyz, dir_pe, codes, voxel_raw):
-            return fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, None)
-
-        def op_fwd(mlp_params, xyz, dir_pe, codes, voxel_raw):
-            out = fwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, None)
-            return out, (mlp_params, xyz, dir_pe, codes, voxel_raw, None)
-
-        def op_bwd(res, g):
-            return op_bwd_common(res, g)
-
     op.defvjp(op_fwd, op_bwd)
     return op
 
-
-@functools.lru_cache(maxsize=32)
-def make_fused_render_op(
-    cfg: ObjectNeRFConfig,
-    forward_instance: bool,
-    last_delta_inf: bool = True,
-    frustum_bound_th: float = 0.0,
-    weights_from_instance: bool = False,
-    rows_budget: int = 2048,
-    bwd_rows_budget: int = 4096,
-    dtype=jnp.bfloat16,
-    interpret: bool = False,
-):
-    """Differentiable FULLY-fused train pass: PE → both MLP branches →
-    TRAIN-mode alpha compositing (sigma noise, occlusion suppression,
-    instance white-back), forward AND backward in Pallas. The XLA train
-    step previously autodiffed the compositing over (batch, S) arrays;
-    here the compositing VJP runs inside the backward kernel
-    (_composite_bwd), so HBM never sees per-sample σ/rgb or their
-    cotangents.
-
-    op(mlp_params, xyz (n,S,3), z_vals (n,S), dir_pe (n,Cd), codes (n,Cc),
-       voxel_raw (n,S,Cv)|None, noise_scene (n,S), noise_inst (n,S),
-       pass_through (n,S) 0/1)
-    -> dict(rgb (n,3), depth (n,), opacity (n,) [, rgb_instance,
-            depth_instance, opacity_instance], weights (n,S))
-
-    The `weights` output is for the importance pdf and is defined as
-    stop-gradient (sample_pdf detaches on both sides; its cotangent is
-    ignored). xyz/z/dir/noise cotangents are zeros — none feed trainable
-    parameters in this framework.
-    """
-    use_voxel = cfg.use_voxel_embedding
-
-    def fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-                 noise_s, noise_i, pt):
-        return fused_render_tiles(
-            mlp_params, cfg, xyz, z_vals, dir_pe, obj_codes=codes,
-            voxel_raw=voxel_raw, forward_instance=forward_instance,
-            last_delta_inf=last_delta_inf, want_weights=True,
-            white_back=False,  # scene white-back is the caller's (XLA) op
-            noise_scene=noise_s, noise_inst=noise_i, pass_through=pt,
-            frustum_bound_th=frustum_bound_th,
-            weights_from_instance=weights_from_instance,
-            rows_budget=rows_budget, dtype=dtype, interpret=interpret,
-        )
-
-    @jax.custom_vjp
-    def op(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-           noise_s, noise_i, pt):
-        return fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-                        noise_s, noise_i, pt)
-
-    def op_fwd(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-               noise_s, noise_i, pt):
-        out = fwd_impl(mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-                       noise_s, noise_i, pt)
-        return out, (mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-                     noise_s, noise_i, pt)
-
-    def op_bwd(res, g):
-        (mlp_params, xyz, z_vals, dir_pe, codes, voxel_raw,
-         noise_s, noise_i, pt) = res
-        n = z_vals.shape[0]
-        zero1 = jnp.zeros((n, 1), jnp.float32)
-        parts = [g["rgb"], g["depth"].reshape(n, 1),
-                 g["opacity"].reshape(n, 1)]
-        if forward_instance:
-            parts += [g["rgb_instance"], g["depth_instance"].reshape(n, 1),
-                      g["opacity_instance"].reshape(n, 1)]
-        else:
-            parts += [jnp.zeros((n, 3), jnp.float32), zero1, zero1]
-        g_maps = jnp.concatenate(parts, axis=-1)  # (n, 10)
-        # g["weights"] is ignored by design (stop-gradient output)
-        d_params, d_codes, d_vox = _run_bwd(
-            mlp_params, xyz, dir_pe, codes, voxel_raw, g_maps,
-            cfg=cfg, forward_instance=forward_instance,
-            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
-            interpret=interpret,
-            composite=dict(
-                z_vals=z_vals, noise_scene=noise_s, noise_inst=noise_i,
-                pass_through=pt, last_delta_inf=last_delta_inf,
-                frustum_bound_th=frustum_bound_th,
-            ),
-        )
-        return (d_params, jnp.zeros_like(xyz), jnp.zeros_like(z_vals),
-                jnp.zeros_like(dir_pe), d_codes, d_vox,
-                jnp.zeros_like(noise_s), jnp.zeros_like(noise_i),
-                jnp.zeros_like(pt))
-
-    op.defvjp(op_fwd, op_bwd)
-    return op

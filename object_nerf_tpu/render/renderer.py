@@ -51,19 +51,7 @@ class RenderSettings:
     pallas_rays_per_tile: Optional[int] = None  # None = auto from VMEM budget
     pallas_dtype: str = "bfloat16"  # matmul dtype in fused kernels (f32 accum)
     pallas_interpret: bool = False  # interpreter-mode kernels (CPU tests)
-    # Opt-in: fold train-mode compositing into the custom-VJP kernels
-    # (_render_rays_fused). Gradient-exact vs the XLA composite (tested),
-    # but OFF by default: on v5e the composite-mode backward is
-    # VMEM-capacity-bound (139-146M of 128M at 4096-row tiles, measured),
-    # and the smaller tiles that fit cost more than the ~3 ms of XLA
-    # composite it eliminates. Viable on larger-VMEM parts.
-    fuse_composite: bool = False
     remat: bool = False  # rematerialize MLP evals in the backward pass
-    # rows-mode voxel fetch in the TRAIN kernels: ship raw corner rows +
-    # trilinear weights into the fused ops, reduce in VMEM, emit the rows
-    # cotangent directly (ops/pallas_mlp_vjp vox_rows_mode). Requires the
-    # dense corner-table path.
-    pallas_vox_rows: bool = False
 
     @classmethod
     def from_config(cls, cfg, *, white_back=False, is_eval=False, **over):
@@ -145,39 +133,15 @@ def _eval_models(
         codes = embedding_instance
         if codes is None:
             codes = jnp.zeros((n_rays, settings.mlp.N_obj_code_length), xyz.dtype)
-        rows_mode = False
-        if voxel_ctx is not None and settings.pallas_vox_rows:
-            from ..models.voxel_grid import _dense_path_ok
-
-            rows_mode = _dense_path_ok(voxel_ctx[2])
-        if rows_mode:
-            from ..models.voxel_grid import voxel_lookup_rows
-
-            features, topo, static = voxel_ctx[:3]
-            rows, wts = voxel_lookup_rows(
-                features, topo, static, xyz.reshape(-1, 3),
-                lowp=settings.pallas_dtype == "bfloat16",
-            )
-            op = make_fused_mlp_op(
-                settings.mlp, settings.forward_instance,
-                dtype=jnp.dtype(settings.pallas_dtype).type,
-                interpret=settings.pallas_interpret, vox_rows_mode=True,
-            )
-            sigma, rgb, i_sigma, i_rgb = op(
-                mlp_params, xyz, dir_embedded, codes,
-                rows.reshape(n_rays, n_samp, -1),
-                wts.reshape(n_rays, n_samp, 8),
-            )
-        else:
-            voxel_raw = _lookup_voxel_raw(settings, voxel_ctx, xyz)
-            op = make_fused_mlp_op(
-                settings.mlp, settings.forward_instance,
-                dtype=jnp.dtype(settings.pallas_dtype).type,
-                interpret=settings.pallas_interpret,
-            )
-            sigma, rgb, i_sigma, i_rgb = op(
-                mlp_params, xyz, dir_embedded, codes, voxel_raw
-            )
+        voxel_raw = _lookup_voxel_raw(settings, voxel_ctx, xyz)
+        op = make_fused_mlp_op(
+            settings.mlp, settings.forward_instance,
+            dtype=jnp.dtype(settings.pallas_dtype).type,
+            interpret=settings.pallas_interpret,
+        )
+        sigma, rgb, i_sigma, i_rgb = op(
+            mlp_params, xyz, dir_embedded, codes, voxel_raw
+        )
         out = {"sigma": sigma, "rgb": rgb}
         if settings.forward_instance:
             out["inst_sigma"] = i_sigma
@@ -429,109 +393,6 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
     return render_chunk
 
 
-def _render_rays_fused(
-    params: Dict[str, Any],
-    rays: jnp.ndarray,
-    key: jnp.ndarray,
-    settings: RenderSettings,
-    voxel_ctx: VoxelCtx,
-    embedding_instance: Optional[jnp.ndarray],
-    pass_through_mask: Optional[jnp.ndarray],
-) -> Dict[str, jnp.ndarray]:
-    """The fully-fused differentiable render: each pass is ONE custom-VJP
-    Pallas op (PE → MLP branches → train-mode compositing, fwd + bwd in
-    VMEM; ops/pallas_mlp_vjp.make_fused_render_op). Bit-matches the XLA
-    path's semantics: same key-split schedule, same noise draws, same
-    occlusion/white-back rules, same detached importance pdf."""
-    from ..ops.pallas_mlp_vjp import make_fused_render_op
-
-    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
-    near, far = rays[:, 6:7], rays[:, 7:8]
-    n = rays.shape[0]
-
-    k_perturb, k_nc, k_nic, k_pdf, k_nf, k_nif = jax.random.split(key, 6)
-    z_vals = stratified_sample(
-        k_perturb, near, far, settings.N_samples, settings.use_disp,
-        settings.perturb,
-    )
-    dir_pe = freq_encode(rays_d, settings.mlp.N_freq_dir)
-    codes = embedding_instance
-    if codes is None:
-        codes = jnp.zeros((n, settings.mlp.N_obj_code_length), jnp.float32)
-
-    # occlusion suppression is a training behavior (rendering.py:192-202)
-    th = 0.0 if settings.is_eval else settings.frustum_bound_th
-    pt_row = (
-        pass_through_mask.reshape(-1, 1).astype(jnp.float32)
-        if pass_through_mask is not None
-        else jnp.zeros((n, 1), jnp.float32)
-    )
-    kdtype = jnp.dtype(settings.pallas_dtype).type
-    op = make_fused_render_op(
-        settings.mlp, settings.forward_instance,
-        frustum_bound_th=float(th),
-        weights_from_instance=(
-            settings.rays_in_bbox and settings.forward_instance
-        ),
-        dtype=kdtype, interpret=settings.pallas_interpret,
-    )
-
-    def lookup_vox(xyz):
-        return _lookup_voxel_raw(settings, voxel_ctx, xyz)
-
-    def noise(k, s):
-        if settings.noise_std > 0:
-            return (
-                jax.random.normal(k, (n, s), jnp.float32)
-                * settings.noise_std
-            )
-        return jnp.zeros((n, s), jnp.float32)
-
-    def run_pass(mlp_params, z, keys):
-        s = z.shape[1]
-        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-        out = op(
-            mlp_params, xyz, z, dir_pe, codes, lookup_vox(xyz),
-            noise(keys[0], s), noise(keys[1], s),
-            jnp.broadcast_to(pt_row, (n, s)),
-        )
-        rgb = out["rgb"]
-        if settings.white_back:
-            rgb = rgb + (1.0 - out["opacity"][:, None])
-        res = {
-            "weights": out["weights"], "opacity": out["opacity"],
-            "rgb": rgb, "depth": out["depth"],
-        }
-        if settings.forward_instance:
-            res.update(
-                rgb_instance=out["rgb_instance"],
-                depth_instance=out["depth_instance"],
-                opacity_instance=out["opacity_instance"],
-            )
-        return res
-
-    results: Dict[str, jnp.ndarray] = {}
-
-    def emit(typ, z, res):
-        results[f"z_vals_{typ}"] = z
-        for k, v in res.items():
-            results[f"{k}_{typ}"] = v
-
-    coarse = run_pass(params["coarse"], z_vals, (k_nc, k_nic))
-    emit("coarse", z_vals, coarse)
-
-    if settings.N_importance > 0:
-        z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
-        z_fine = sample_pdf(
-            k_pdf, z_mid, coarse["weights"][:, 1:-1], settings.N_importance,
-            det=(settings.perturb == 0),
-        )
-        z_all = merge_z_vals(z_vals, z_fine)
-        fine = run_pass(params["fine"], z_all, (k_nf, k_nif))
-        emit("fine", z_all, fine)
-    return results
-
-
 def render_rays(
     params: Dict[str, Any],
     rays: jnp.ndarray,
@@ -550,11 +411,6 @@ def render_rays(
     Returns the reference's result-key schema (`rgb_fine`, `opacity_instance_
     coarse`, ...) so losses/metrics/visualizers are drop-in.
     """
-    if settings.use_pallas and settings.fuse_composite:
-        return _render_rays_fused(
-            params, rays, key, settings, voxel_ctx, embedding_instance,
-            pass_through_mask,
-        )
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
 

@@ -70,8 +70,6 @@ def split_step_supported(settings: RenderSettings, voxel_static) -> bool:
     return (
         settings.use_pallas
         and settings.N_importance > 0
-        and not settings.fuse_composite
-        and not settings.pallas_vox_rows
         and (voxel_static is None or vg._dense_path_ok(voxel_static))
     )
 
@@ -145,7 +143,7 @@ def make_split_train_step(
 
     @jax.jit
     def p_fwd_kernel(mlp_params, xyz, dir_pe, codes, vox):
-        return fwd_kernel(mlp_params, xyz, dir_pe, codes, vox, None)
+        return fwd_kernel(mlp_params, xyz, dir_pe, codes, vox)
 
     def raw_dict(outs):
         sigma, rgb, isig, irgb = outs
@@ -219,7 +217,7 @@ def make_split_train_step(
 
     @jax.jit
     def p_bwd_kernel(mlp_params, xyz, dir_pe, codes, vox, g_out):
-        return bwd_kernel(mlp_params, xyz, dir_pe, codes, vox, None, g_out)
+        return bwd_kernel(mlp_params, xyz, dir_pe, codes, vox, g_out)
 
     def table_grad(voxel_features, voxel_topo, d_vox_c, flat_c, wts_c,
                    d_vox_f, flat_f, wts_f):

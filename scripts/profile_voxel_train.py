@@ -68,27 +68,17 @@ def main():
                                      trilinear=True, lowp=True)
         return raw.reshape(x.shape[0], x.shape[1], -1)
 
-    def make_step(fwd_mb, bwd_mb, bwd_rows, rows_mode=False):
+    def make_step(fwd_mb, bwd_mb, bwd_rows):
         op = make_fused_mlp_op(mlp, True, bwd_rows_budget=bwd_rows,
                                fwd_vmem_limit_mb=fwd_mb,
-                               bwd_vmem_limit_mb=bwd_mb,
-                               vox_rows_mode=rows_mode)
+                               bwd_vmem_limit_mb=bwd_mb)
 
         def loss_fn(p):
             feats = p["voxel_features"]
             tot = 0.0
             for xyz, key in ((xyz_c, "coarse"), (xyz_f, "fine")):
-                if rows_mode:
-                    rws, wts = vg.voxel_lookup_rows(
-                        feats, topo, static, xyz.reshape(-1, 3), lowp=True)
-                    n_, s_ = xyz.shape[0], xyz.shape[1]
-                    sig, rgb, isig, irgb = op(
-                        p[key], xyz, dir_pe, codes,
-                        rws.reshape(n_, s_, -1), wts.reshape(n_, s_, 8))
-                else:
-                    vox = lookup(feats, xyz)
-                    sig, rgb, isig, irgb = op(p[key], xyz, dir_pe, codes,
-                                              vox)
+                vox = lookup(feats, xyz)
+                sig, rgb, isig, irgb = op(p[key], xyz, dir_pe, codes, vox)
                 tot = tot + (jnp.mean(rgb) + jnp.mean(jnp.tanh(sig))
                              + jnp.mean(irgb) + jnp.mean(jnp.tanh(isig)))
             return tot
@@ -103,11 +93,6 @@ def main():
                                           bwd_rows=2048)),
         ("b90r3072 f32 /b90 /r3072", dict(fwd_mb=32, bwd_mb=90,
                                           bwd_rows=3072)),
-        ("ROWS     f100/b117/r4096", dict(base, rows_mode=True)),
-        ("ROWSb124 f100/b124/r4096", dict(base, bwd_mb=124,
-                                          rows_mode=True)),
-        ("ROWSr2048 f100/b117/r2048", dict(base, bwd_rows=2048,
-                                           rows_mode=True)),
     ]
     for name, kw in variants:
         try:

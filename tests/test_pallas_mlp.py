@@ -104,27 +104,17 @@ def test_scene_only_zeros_instance():
     assert float(jnp.abs(got[2]).max()) == 0.0
 
 
-def test_rows_from_lanes_and_suffix_sum_helpers():
-    """Unit coverage for the Mosaic-workaround helpers, incl. a
+def test_trans_from_alphas_helper():
+    """Unit coverage for the in-kernel Hillis-Steele transmittance scan
+    (jnp.cumprod is not lowerable on TPU Pallas), incl. a
     non-power-of-two lane count (the fine pass has s = N_samples +
     N_importance, e.g. 24)."""
-    import jax
     import jax.numpy as jnp
 
-    from object_nerf_tpu.ops.pallas_mlp import (
-        _rows_from_lanes, _suffix_sum_excl, _trans_from_alphas,
-    )
+    from object_nerf_tpu.ops.pallas_mlp import _trans_from_alphas
 
     rng = np.random.RandomState(0)
     for r, s in ((4, 24), (8, 16), (3, 7)):
-        x = jnp.asarray(rng.randn(r, s).astype(np.float32))
-        got = np.asarray(_rows_from_lanes(x, r, s))
-        np.testing.assert_allclose(
-            got, np.asarray(x).reshape(r * s, 1), atol=0
-        )
-        ssum = np.asarray(_suffix_sum_excl(x, r, s))
-        ref = np.flip(np.cumsum(np.flip(np.asarray(x), -1), -1), -1) - x
-        np.testing.assert_allclose(ssum, ref, rtol=1e-5, atol=1e-6)
         a = jnp.asarray(rng.rand(r, s).astype(np.float32)) * 0.9
         trans = np.asarray(_trans_from_alphas(a, r, s))
         ref_t = np.cumprod(1.0 - np.asarray(a) + 1e-10, -1)

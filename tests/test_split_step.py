@@ -139,4 +139,3 @@ def test_split_step_no_instance_branch():
 def test_split_step_unsupported_shapes():
     assert not split_step_supported(_settings(use_pallas=False), None)
     assert not split_step_supported(_settings(N_importance=0), None)
-    assert not split_step_supported(_settings(fuse_composite=True), None)
