@@ -83,20 +83,13 @@ def main():
         new_state, m = maker(state, batch, key, system.voxel_topo)
         float(np.asarray(m["train/loss"]))
 
-        # stage-by-stage, reproducing train_step's dataflow
-        cl = ss.__dict__  # noqa: F841  (placeholder; stages timed below)
+        # The step's eight programs are closure-jitted inside
+        # make_split_train_step and not reachable from outside, so the
+        # breakdown is: whole step vs a standalone chain of the four
+        # kernel programs at the step's exact shapes — the difference is
+        # the four kernel-free glue programs (prep/gather, pdf+gather,
+        # loss grad, table-grad+Adam).
         p = state.params
-        rays = batch["rays"]
-        ids = batch.get("instance_ids")
-        if ids is None:
-            ids = jnp.zeros((rays.shape[0],), jnp.int32)
-
-        # Recreate the inner jitted callables by tracing through one call
-        # of the step's python body is not possible from outside; instead
-        # time the observable pieces: P1 (prep), kernels, P5, P8 via the
-        # step's own structure re-run with cached jits (they are
-        # module-level lru or closure jits — re-calling maker would
-        # recompile). So: time the whole step minus a kernels-only chain.
         fwd_kernel, bwd_kernel = ss.make_fused_fwd_bwd(
             system.settings.mlp, system.settings.forward_instance,
             dtype=jnp.bfloat16,
@@ -104,7 +97,7 @@ def main():
 
         s_c = system.settings.N_samples
         s_f = s_c + system.settings.N_importance
-        n = rays.shape[0]
+        n = batch["rays"].shape[0]
         xyz_c = jnp.zeros((n, s_c, 3), jnp.float32)
         xyz_f = jnp.zeros((n, s_f, 3), jnp.float32)
         dir_pe = jnp.zeros((n, 27), jnp.float32)
