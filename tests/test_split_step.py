@@ -76,7 +76,7 @@ def _batch(n, seed=5):
 
 
 def _compare(settings, voxel_static=None, voxel_features=None, topo=None,
-             n=16):
+             n=16, with_pass_through=False):
     # plain SGD: the one-step param delta IS the gradient, so the compare
     # checks gradient parity directly. (Under Adam a single step is
     # ≈ lr·sign(g), which amplifies f32-reassociation noise in near-zero
@@ -84,6 +84,10 @@ def _compare(settings, voxel_static=None, voxel_features=None, topo=None,
     optimizer = optax.sgd(1.0)
     lr_sched = optax.constant_schedule(1e-3)
     batch = _batch(n)
+    if with_pass_through:
+        batch["pass_through_mask"] = jnp.asarray(
+            np.random.RandomState(11).rand(n) > 0.5
+        )
     key = jax.random.PRNGKey(9)
 
     mono = make_train_step(settings, LOSS_W, optimizer, voxel_static,
@@ -134,6 +138,17 @@ def test_split_step_voxel_matches_monolithic():
 def test_split_step_no_instance_branch():
     settings = _settings(forward_instance=False)
     _compare(settings)
+
+
+def test_split_step_rays_in_bbox_and_pass_through():
+    """The bbox-conditioned training config: pdf sampling follows the
+    INSTANCE weights (rendering.py:228-229 via _composite_pass) and the
+    occlusion suppression honors a per-ray pass-through mask — both run
+    inside the split step's P3/P5 glue programs and must match the
+    monolithic step."""
+    settings = _settings(rays_in_bbox=True)
+    assert split_step_supported(settings, None)
+    _compare(settings, with_pass_through=True)
 
 
 def test_split_step_unsupported_shapes():
