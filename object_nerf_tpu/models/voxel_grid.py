@@ -401,8 +401,10 @@ def make_corner_table(features, topo, static: VoxelStatic, lowp: bool = False):
     through every chunk program (`voxel_lookup_dense(..., ct=...)`): the
     features don't change within a frame, so rebuilding the table (scatter
     + pad + 8-view concat + f32→bf16 cast) inside each of the ~40 chunk
-    programs is pure waste. Not for training paths — the prebuilt table is
-    outside the grad graph."""
+    programs is pure waste. The prebuilt table carries no feature gradient
+    — autodiff training paths must build it in-graph (voxel_lookup_dense
+    with ct=None); the split-program train step may call this per step
+    because it derives the table gradient by hand (split_step.py P8)."""
     ct = _cell_corner_table(features, topo, static)
     return ct.astype(jnp.bfloat16) if lowp else ct
 
@@ -437,6 +439,7 @@ def voxel_lookup_dense(
     xyz: jnp.ndarray,  # (N, 3) normalized coords
     lowp: bool = False,
     ct: Optional[jnp.ndarray] = None,
+    with_addressing: bool = False,
 ):
     """Trilinear lookup via the corner table: ONE row gather per sample.
 
@@ -449,8 +452,11 @@ def voxel_lookup_dense(
     out-of-bounds corners read zero PAD rows, so no gradient ever reaches
     rows outside the live table (reference masking semantics preserved).
 
-    ct: a prebuilt table from `make_corner_table` (eval-only fast path —
-    skips the in-program build and carries no feature gradient).
+    ct: a prebuilt table from `make_corner_table` (skips the in-program
+    build and carries no feature gradient; `features` may be None then).
+    with_addressing additionally returns (flat, wts) — the split-program
+    train step (train/split_step.py) hand-derives the table gradient from
+    exactly this forward, so it must share this reduce, not re-implement it.
     """
     flat, wts, sample_valid = corner_index_weights(topo, static, xyz)
     if ct is None:
@@ -463,6 +469,8 @@ def voxel_lookup_dense(
         * wts[..., None],
         axis=1,
     )
+    if with_addressing:
+        return out, ~sample_valid, flat, wts
     return out, ~sample_valid
 
 
@@ -495,6 +503,11 @@ def voxel_lookup_raw(
     f32 (see _take_rows_bf16). `ct` is a prebuilt `make_corner_table`
     (eval-only; implies the dense path).
     """
+    if ct is not None and not trilinear:
+        raise ValueError(
+            "ct (prebuilt corner table) implies the trilinear dense path; "
+            "the nearest-neighbor lookup never consults it"
+        )
     xyz_scaled = (xyz + topo.voxel_offset) / topo.voxel_size
     if not trilinear:
         q = jnp.round(xyz_scaled).astype(jnp.int32)

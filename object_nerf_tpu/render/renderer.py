@@ -227,6 +227,11 @@ def render_rays_fused_eval(
     assert settings.perturb == 0 and settings.noise_std == 0, (
         "fused render is the deterministic eval path"
     )
+    assert not settings.rays_in_bbox, (
+        "fused eval derives the fine pdf from SCENE weights; rays_in_bbox "
+        "needs instance-weight pdf semantics (reference rendering.py:228-229)"
+        " — use the unfused render path"
+    )
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     n = rays.shape[0]
@@ -316,6 +321,11 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
 
     assert settings.perturb == 0 and settings.noise_std == 0, (
         "fused render is the deterministic eval path"
+    )
+    assert not settings.rays_in_bbox, (
+        "fused eval derives the fine pdf from SCENE weights; rays_in_bbox "
+        "needs instance-weight pdf semantics (reference rendering.py:228-229)"
+        " — use the unfused render path"
     )
     mlp = settings.mlp
     kdtype = jnp.dtype(settings.pallas_dtype).type

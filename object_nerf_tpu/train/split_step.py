@@ -103,16 +103,12 @@ def make_split_train_step(
 
     def fetch(ct, voxel_topo, xyz):
         """(vox (n,S,C) f32, flat (n·S,), wts (n·S,8)) from the shared
-        bf16 corner table — voxel_lookup_dense semantics, fwd only."""
+        bf16 corner table — the canonical voxel_lookup_dense forward, with
+        the (flat, wts) addressing the P8 table-gradient program needs."""
         n, s, _ = xyz.shape
-        flat, wts, _ = vg.corner_index_weights(
-            voxel_topo, voxel_static, xyz.reshape(-1, 3)
-        )
-        rows = jnp.take(ct, flat, axis=0)
-        vox = jnp.sum(
-            rows.reshape(-1, 8, voxel_static.channels).astype(jnp.float32)
-            * wts[..., None],
-            axis=1,
+        vox, _, flat, wts = vg.voxel_lookup_dense(
+            None, voxel_topo, voxel_static, xyz.reshape(-1, 3), ct=ct,
+            with_addressing=True,
         )
         return vox.reshape(n, s, -1), flat, wts
 
@@ -134,10 +130,8 @@ def make_split_train_step(
                               jnp.float32)
         ct = vox_c = flat_c = wts_c = None
         if use_voxel:
-            ct = vg._cell_corner_table(voxel_features, voxel_topo,
-                                       voxel_static)
-            if lowp:
-                ct = ct.astype(jnp.bfloat16)
+            ct = vg.make_corner_table(voxel_features, voxel_topo,
+                                      voxel_static, lowp=lowp)
             vox_c, flat_c, wts_c = fetch(ct, voxel_topo, xyz_c)
         return z_vals, xyz_c, dir_pe, codes, ct, vox_c, flat_c, wts_c
 
