@@ -219,3 +219,18 @@ def test_bwd_kernel_voxel_scene_only_grad():
     assert np.isfinite(
         float(jnp.sum(g_p["scene"]["trunk"][0]["w"]))
     )
+
+
+def test_fused_eval_rejects_rays_in_bbox():
+    """Both fused eval paths derive the fine pdf from SCENE weights and so
+    cannot honor rays_in_bbox's instance-weight pdf semantics (reference
+    rendering.py:228-229) — they must refuse, not silently diverge."""
+    import pytest
+    from object_nerf_tpu.render.renderer import make_fused_eval_stages
+
+    bbox_settings = dataclasses.replace(SETTINGS, rays_in_bbox=True)
+    with pytest.raises(AssertionError, match="rays_in_bbox"):
+        make_fused_eval_stages(bbox_settings)
+    with pytest.raises(AssertionError, match="rays_in_bbox"):
+        render_rays_fused_eval(_params(), _rays(), bbox_settings,
+                               interpret=True)

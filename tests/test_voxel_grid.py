@@ -145,3 +145,38 @@ def test_ray_box_intersection_tightens():
     )
     assert float(n2.min()) > 0.1  # tightened: scene is z∈[-1,1], start z=5
     assert float(f2.max()) < 12.0
+
+
+def test_dense_lookup_with_addressing_matches_plain():
+    """with_addressing returns the same (out, invalid) plus the (flat, wts)
+    addressing the split train step's hand-derived table gradient uses;
+    reducing ct[flat] by wts must reproduce the lookup exactly."""
+    features, topo, static = _build(n_pts=200, voxel_size=0.5, neighbor=3)
+    pts = jnp.asarray(
+        (np.random.RandomState(4).rand(64, 3) * 1.6 - 0.8), jnp.float32
+    )
+    out, invalid = vg.voxel_lookup_dense(features, topo, static, pts)
+    ct = vg.make_corner_table(features, topo, static)
+    out2, invalid2, flat, wts = vg.voxel_lookup_dense(
+        None, topo, static, pts, ct=ct, with_addressing=True
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(invalid2), np.asarray(invalid))
+    manual = jnp.sum(
+        jnp.take(ct, flat, axis=0).reshape(-1, 8, static.channels)
+        * wts[..., None], axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(manual), np.asarray(out2),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_prebuilt_ct_rejected_for_nearest_lookup():
+    import pytest
+
+    features, topo, static = _build(n_pts=100)
+    ct = vg.make_corner_table(features, topo, static)
+    pts = jnp.zeros((4, 3), jnp.float32)
+    with pytest.raises(ValueError, match="trilinear"):
+        vg.voxel_lookup_raw(features, topo, static, pts, trilinear=False,
+                            ct=ct)
