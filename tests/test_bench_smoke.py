@@ -1,0 +1,52 @@
+"""bench.py smoke: the driver runs `python bench.py` unattended at round
+end and records its one JSON line as the round's perf evidence — a crash
+there is unrecoverable. Run the REAL `bench.main()` on the test CPU mesh
+at shrunken shapes (tiny MLP, tiny frame, one timing iter) and assert the
+output contract: one JSON line carrying the headline metric plus all three
+secondary metrics, every value positive.
+
+The Pallas kernels themselves only engage on TPU (`use_pallas` gates on
+the backend) and are covered by the kernel/interpret tests; this covers
+everything else bench.py touches — config plumbing, make_render_fn, the
+ScanNet-scale voxel-grid build, ObjectNeRFSystem construction, and the
+JSON assembly (secondary metrics are try/except'd in bench.py, so only a
+test can prove they actually run rather than silently skip).
+"""
+
+import json
+
+import pytest
+
+
+def test_bench_main_smoke(monkeypatch, capsys):
+    import bench
+    from object_nerf_tpu import config as config_mod
+
+    real_load = config_mod.load_config
+
+    def tiny_load(*args, **kwargs):
+        cfg = real_load(*args, **kwargs)
+        cfg.model.merge(dict(
+            D=2, W=32, skips=[1], inst_D=2, inst_W=32, inst_skips=[1],
+            N_samples=8, N_importance=8,
+        ))
+        return cfg
+
+    monkeypatch.setattr(config_mod, "load_config", tiny_load)
+    # 128×6 = 768 rays = 3 chunks of 256; one timed iteration
+    monkeypatch.setattr(bench, "W", 128)
+    monkeypatch.setattr(bench, "H", 6)
+    monkeypatch.setattr(bench, "CHUNK", 256)
+    monkeypatch.setattr(bench, "ITERS", 1)
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out  # ONE JSON line on stdout (contract)
+    rec = json.loads(out[0])
+    assert rec["metric"] == "render_rays_per_sec_per_chip_640x480"
+    assert rec["unit"] == "rays/sec/chip"
+    for k in ("value", "vs_baseline", "voxel_render_rays_per_sec",
+              "train_rays_per_sec", "voxel_train_rays_per_sec"):
+        assert k in rec, (k, rec)
+        assert rec[k] > 0, (k, rec)
