@@ -1,14 +1,26 @@
 """Instance-mask weighting utilities.
 
-Parity with the reference (datasets/image_utils.py:8-59):
+Parity with the reference (datasets/image_utils.py:8-59), golden-tested
+against it in tests/test_image_geo_parity.py:
 
-* `rebalance_mask` — per-pixel weights that rebalance foreground/background.
-  Strategies: count-ratio (default: each side weighted by N/(2·N_side)) or
-  fixed fg/bg weights (the shipped configs use fg=1.0 / bg=0.05,
-  default_conf.yml:75-78).
-* `compute_distance_transform_weights` — boundary-softened weights via a
-  distance transform (cv2), clamped to [0.1·w, 10·w] bands like the
-  reference's min/max clipping.
+* `rebalance_mask` — per-pixel weights that rebalance foreground vs
+  background. Fixed fg/bg weights when given (the shipped configs use
+  fg=1.0 / bg=0.05, default_conf.yml:75-78); otherwise the reference's
+  count-ratio rule: fg pixels weighted bg_count/fg_count and vice versa
+  (datasets/image_utils.py:10-15, counts clamped to ≥1).
+* `compute_distance_transform_weights` — boundary-softened weights via
+  two L2 distance transforms (inside + outside the mask), distances
+  capped at `uncertain_pixel_distance` and min-max normalized to [0, 1]
+  (datasets/image_utils.py:28-59).
+
+Reference quirk, deliberately NOT reproduced: the reference dataset's
+`distance_transform` strategy call site passes `fg_weight`/`bg_weight`
+kwargs its own function does not accept (generic_dataset.py:328-334 vs
+image_utils.py:28-30), so that strategy raises TypeError there and only
+`fg_bg_reweight` is runnable. Our dataset call site calls the function
+with its real signature instead (data/generic_dataset.py); set
+`fg_bg_balance_weight=True` to get the reference's intended composition
+with the count-ratio rebalance.
 """
 
 from __future__ import annotations
@@ -21,14 +33,12 @@ def rebalance_mask(
 ) -> np.ndarray:
     """Per-pixel rebalance weights for a boolean fg mask (H, W)."""
     if fg_weight is None and bg_weight is None:
-        n = mask.size
-        n_fg = int(mask.sum())
-        n_bg = n - n_fg
-        weight = np.zeros_like(mask, dtype=np.float32)
-        if n_fg > 0:
-            weight[mask] = n / (2.0 * n_fg)
-        if n_bg > 0:
-            weight[~mask] = n / (2.0 * n_bg)
+        # reference count-ratio rule (datasets/image_utils.py:10-15)
+        fg_cnt = max(int(mask.sum()), 1)
+        bg_cnt = max(int((~mask).sum()), 1)
+        weight = np.ones(mask.shape, dtype=np.float32)
+        weight[mask] = float(bg_cnt) / fg_cnt
+        weight[~mask] = float(fg_cnt) / bg_cnt
         return weight
     weight = np.full(mask.shape, bg_weight, dtype=np.float32)
     weight[mask] = fg_weight
@@ -36,14 +46,38 @@ def rebalance_mask(
 
 
 def compute_distance_transform_weights(
-    mask: np.ndarray, uncertain_pixel_distance: float = 15.0
+    mask: np.ndarray,
+    uncertain_pixel_distance: float = 15.0,
+    fg_bg_balance_weight: bool = False,
 ) -> np.ndarray:
-    """Down-weight pixels near the mask boundary using a distance transform."""
+    """Down-weight pixels near the mask boundary using distance transforms.
+
+    Reference algorithm (datasets/image_utils.py:28-59): L2 distance
+    transform inside the mask and outside it, both capped at
+    `uncertain_pixel_distance`; pixels strictly inside the cap band take
+    their distance, everything else the cap; min-max normalized to [0, 1].
+    With `fg_bg_balance_weight`, multiplied by the count-ratio
+    `rebalance_mask`.
+    """
     import cv2
 
-    m = mask.astype(np.uint8)
+    max_dist = uncertain_pixel_distance
+    m = np.zeros(mask.shape, dtype=np.uint8)
+    m[mask] = 255
     dist_fg = cv2.distanceTransform(m, cv2.DIST_L2, 3)
-    dist_bg = cv2.distanceTransform(1 - m, cv2.DIST_L2, 3)
-    dist = np.where(mask, dist_fg, dist_bg).astype(np.float32)
-    w = np.clip(dist / uncertain_pixel_distance, 0.1, 1.0)
-    return w
+    m_inv = np.zeros(mask.shape, dtype=np.uint8)
+    m_inv[~mask] = 255
+    dist_bg = cv2.distanceTransform(m_inv, cv2.DIST_L2, 3)
+
+    dist = np.full_like(dist_fg, max_dist)
+    dist_fg = np.minimum(dist_fg, max_dist)
+    dist_bg = np.minimum(dist_bg, max_dist)
+    fg_band = (dist_fg < max_dist) & (dist_fg > 0)
+    dist[fg_band] = dist_fg[fg_band]
+    bg_band = (dist_bg < max_dist) & (dist_bg > 0)
+    dist[bg_band] = dist_bg[bg_band]
+
+    cv2.normalize(dist, dist, 0, 1.0, cv2.NORM_MINMAX)
+    if fg_bg_balance_weight:
+        dist *= rebalance_mask(mask)
+    return dist
