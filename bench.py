@@ -110,12 +110,9 @@ def _bench_voxel_render(cfg):
     gather traffic, and table capacity all match real-use costs. Rays are
     bounded so samples land inside the grid.
     """
-    import tempfile
-
     from object_nerf_tpu.render.renderer import RenderSettings
     from object_nerf_tpu.train.system import init_params, make_render_fn
     from object_nerf_tpu.models import voxel_grid as vg
-    from object_nerf_tpu.data.ply_io import write_ply
 
     cfg = cfg.copy()
     cfg.model.use_voxel_embedding = True

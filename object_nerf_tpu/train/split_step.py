@@ -97,7 +97,7 @@ def make_split_train_step(
     )
 
     def keys6(key):
-        # the monolithic render_rays key schedule (renderer.py:561) — the
+        # the monolithic render_rays key schedule (renderer.py:428) — the
         # split step draws bit-identical perturbations and noise
         return jax.random.split(key, 6)
 

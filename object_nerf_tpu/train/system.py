@@ -178,6 +178,7 @@ def make_render_fn(
             return render_rays_fused_eval(
                 params, rays_c, settings, voxel_ctx=voxel_ctx,
                 embedding_instance=codes,
+                interpret=settings.pallas_interpret,
             )
         out = render_rays(
             params, rays_c, key, settings,
@@ -544,7 +545,11 @@ class ObjectNeRFSystem:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"profiler trace written to {profile_dir}")
-                if global_it % nan_check_every == 0:
+                if nan_guard and global_it % nan_check_every == 0:
+                    # the host fetch is the sync point; skip it entirely
+                    # when the guard is off so the dispatch stream stays
+                    # asynchronous (each fetch costs a ~25 ms tunnel
+                    # round-trip on axon)
                     _check_finite(
                         jax.device_get(metrics["train/loss"]), epoch, it
                     )

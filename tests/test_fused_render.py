@@ -234,3 +234,52 @@ def test_fused_eval_rejects_rays_in_bbox():
     with pytest.raises(AssertionError, match="rays_in_bbox"):
         render_rays_fused_eval(_params(), _rays(), bbox_settings,
                                interpret=True)
+
+
+def test_make_render_fn_voxel_beyond_dense_limit_interprets(monkeypatch):
+    """Regression: when the voxel grid exceeds the dense corner-table limit,
+    make_render_fn falls back from the split-program path to the monolithic
+    render_rays_fused_eval — which must receive settings.pallas_interpret
+    (it used not to, crashing interpret-mode/CPU sessions on exactly this
+    fallback)."""
+    import dataclasses
+
+    import numpy as onp
+    from object_nerf_tpu.models import voxel_grid as vg
+    from object_nerf_tpu.train import system as system_mod
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(1), 4)
+    pts = onp.random.RandomState(0).rand(400, 3) * 3 - 1.5
+    features, topo, static = vg.build_voxel_grid(
+        pts, [0, 0, 0], 1.0, 0.4, 3, 24, 2, 20000, key=k4,
+    )
+    params = {
+        "coarse": init_object_nerf(k1, cfg),
+        "fine": init_object_nerf(k2, cfg),
+        "code_library": init_code_library(k3, 8, 16),
+        "voxel_features": features,
+    }
+    settings = dataclasses.replace(
+        SETTINGS, mlp=cfg, use_pallas=True, pallas_interpret=True,
+        pallas_dtype="float32",
+    )
+    # pretend the grid is too big for the prebuilt dense corner table
+    monkeypatch.setattr(vg, "_dense_path_ok", lambda s: False)
+    render = system_mod.make_render_fn(settings, static, chunk=16)
+
+    rays = _rays(16)
+    ids = jnp.zeros((16,), jnp.int32)
+    got = render(params, rays, jax.random.PRNGKey(0), ids, topo)
+
+    codes = lookup_codes(params["code_library"], ids)
+    ref = render_rays(
+        params, rays, jax.random.PRNGKey(0), settings,
+        voxel_ctx=(features, topo, static), embedding_instance=codes,
+    )
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=key,
+        )
