@@ -194,7 +194,12 @@ def make_render_fn(
                 f"opacity_instance_{typ}")
         return {k: v for k, v in out.items() if k in keep}
 
-    def render(params, rays, key, instance_ids, voxel_topo):
+    def render(params, rays, key, instance_ids, voxel_topo, put_chunk=None):
+        """`put_chunk`, when given, places each chunk's ray/code slice
+        (e.g. `jax.device_put` with a data sharding) so the per-chunk
+        programs run SPMD over a multi-chip mesh — rays are embarrassingly
+        parallel, so this is the whole multi-chip eval story. Single-chip
+        callers leave it None and keep the device-slice fast path."""
         codes = None
         if settings.forward_instance:
             codes = lookup_codes(params["code_library"], instance_ids)
@@ -206,6 +211,9 @@ def make_render_fn(
         for i in range(0, n, chunk):
             rays_c = rays[i : i + chunk]
             codes_c = codes[i : i + chunk] if codes is not None else None
+            if put_chunk is not None:
+                rays_c = put_chunk(rays_c)
+                codes_c = put_chunk(codes_c) if codes_c is not None else None
             if split_chunk is not None:
                 outs.append(
                     split_chunk(params, rays_c, codes_c, voxel_topo, ct)
@@ -407,9 +415,19 @@ class ObjectNeRFSystem:
                 self.eval_settings, self.voxel_static, chunk
             )
         self.key, sub = jax.random.split(self.key)
+        # multi-chip: shard each chunk's rays over the data mesh so the
+        # chunk programs run SPMD (params are already replicated — the same
+        # GSPMD story as the train step). Single chip keeps the
+        # device-slice path: a per-chunk host->device put would cost tunnel
+        # latency for nothing there.
+        put_chunk = None
+        if self.n_devices > 1 and chunk % self.n_devices == 0:
+            # device_put reshards the device-sliced chunk directly
+            # (device->devices scatter, no host round-trip)
+            put_chunk = lambda x: jax.device_put(x, self.batch_sharding)  # noqa: E731
         out = self._render_fns[chunk](
             self.state.params, jnp.asarray(rays), sub, jnp.asarray(ids),
-            self.voxel_topo,
+            self.voxel_topo, put_chunk=put_chunk,
         )
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 

@@ -132,3 +132,38 @@ def test_sharded_step_matches_single_device_voxel_path(tmp_path, split):
     p8 = jax.tree_util.tree_leaves(jax.device_get(sys8.state.params))
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_eval_render_matches_single_device(use_pallas):
+    """Eval-render SPMD: render_image with chunks sharded over the 8-device
+    mesh (params replicated) must reproduce the single-device frame — the
+    multi-chip validation/eval story, for both the XLA pipeline and the
+    interpreter-mode kernel path."""
+    cfg = load_config()
+    cfg.model.merge(
+        dict(use_voxel_embedding=False, D=2, W=32, skips=[1], inst_D=2,
+             inst_W=16, inst_skips=[1], N_samples=8, N_importance=4,
+             N_max_objs=8, N_obj_code_length=8, perturb=0, noise_std=0)
+    )
+    cfg.train.merge(dict(batch_size=128))
+    cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0))
+    if use_pallas:
+        cfg.tpu.merge(dict(use_pallas=True, pallas_interpret=True,
+                           pallas_dtype="float32"))
+    ds = SyntheticDataset("val", img_wh=(16, 12), n_frames=2,
+                          dataset_extra=cfg.dataset_extra)
+    batch = ds.whole_image_batch(0)
+
+    sys1 = _system(cfg, ds, jax.devices()[:1])
+    sys8 = _system(cfg, ds, jax.devices()[:8])
+    out1 = sys1.render_image(batch, chunk=48)  # 16*12 = 4 chunks of 48
+    out8 = sys8.render_image(batch, chunk=48)  # 48 % 8 == 0 -> sharded
+
+    assert set(out1) == set(out8)
+    for k in out1:
+        # same rounding envelope as the train-step equivalence above:
+        # GSPMD partitioning reorders f32 fusions, nothing more
+        np.testing.assert_allclose(
+            out8[k], out1[k], rtol=5e-4, atol=1e-5, err_msg=k
+        )
