@@ -458,7 +458,25 @@ class ObjectNeRFSystem:
                     jnp.asarray(batch["rgbs"]).reshape(h, w, 3),
                 )
             )
+        # stash for val-image logging (the reference logs a 7-panel image
+        # stack per validation, train.py:212-218 via train_helper.py:24-55);
+        # consumers call val_image_panel() to build it lazily
+        self._last_val = (img_wh, batch, out, typ)
         return metrics, out
+
+    def val_image_panel(self):
+        """(N_panels, H, W, 3) visualization stack of the last validation
+        (GT rgb | instance rgb | full rgb | instance depth | depth |
+        GT depth | instance opacity) — the reference's val/GT_pred_depth
+        image (utils/train_helper.py:24-55). None before any validation."""
+        if getattr(self, "_last_val", None) is None:
+            return None
+        from ..utils.train_helper import visualize_val_image
+
+        img_wh, batch, out, typ = self._last_val
+        if img_wh is None:
+            return None
+        return visualize_val_image(img_wh, batch, out, typ=typ)
 
     def on_epoch_start(self, epoch: int):
         """Progressive voxel training hooks (train.py:140-145)."""

@@ -56,11 +56,17 @@ def test_validation_render_and_metrics():
     val = SyntheticDataset("val", img_wh=(32, 24),
                            dataset_extra=cfg.dataset_extra)
     system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=val)
+    assert system.val_image_panel() is None  # nothing validated yet
     metrics, out = system.validation(chunk=256)
     assert np.isfinite(metrics["val/psnr"])
     assert out["rgb_fine"].shape == (32 * 24, 3)
     assert out["depth_fine"].shape == (32 * 24,)
     assert out["opacity_instance_fine"].shape == (32 * 24,)
+    # the reference's 7-panel val image (train.py:212-218) is buildable
+    # from the stashed validation state
+    panel = system.val_image_panel()
+    assert panel.shape == (7, 24, 32, 3)
+    assert np.isfinite(panel).all() and panel.min() >= 0 and panel.max() <= 1
 
 
 def test_rays_in_bbox_reaches_render_settings():
