@@ -13,14 +13,14 @@ import numpy as np
 
 def visualize_depth(depth: np.ndarray, cmap: str = "jet") -> np.ndarray:
     """(H, W) depth → (H, W, 3) float rgb; invalid (0) stays dark."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     x = np.nan_to_num(np.asarray(depth, np.float32))
     mi = np.min(x[x > 0]) if (x > 0).any() else 0.0
     ma = np.max(x)
     x = (x - mi) / (ma - mi + 1e-8)
     x = np.clip(x, 0, 1)
-    return np.asarray(cm.get_cmap(cmap)(x))[..., :3].astype(np.float32)
+    return np.asarray(matplotlib.colormaps[cmap](x))[..., :3].astype(np.float32)
 
 
 def visualize_val_image(img_wh, batch, results, typ="fine") -> np.ndarray:
