@@ -7,6 +7,15 @@ is a 1-D `data` mesh: ray batches shard over it, parameters replicate, and
 XLA inserts the gradient `psum` over ICI automatically when the train step
 is jitted with these shardings. Multi-host extends the same axis over DCN
 via `jax.distributed` — no user-code changes.
+
+Pallas caveat for real multi-chip meshes: GSPMD has no partitioning rule
+for `tpu_custom_call`, so a jitted program containing a real-TPU Pallas
+kernel replicates that kernel's work per chip instead of splitting it.
+On a >1-chip mesh set `tpu.use_pallas=false` (the pure-XLA paths partition
+and the batch axis scales linearly) until the kernel stages are
+shard_map-wrapped; interpreter-mode kernels (CPU tests) lower to XLA ops
+and partition fine. Single-chip TPU — this environment's hardware — is
+unaffected.
 """
 
 from __future__ import annotations

@@ -416,12 +416,18 @@ class ObjectNeRFSystem:
             )
         self.key, sub = jax.random.split(self.key)
         # multi-chip: shard each chunk's rays over the data mesh so the
-        # chunk programs run SPMD (params are already replicated — the same
-        # GSPMD story as the train step). Single chip keeps the
-        # device-slice path: a per-chunk host->device put would cost tunnel
-        # latency for nothing there.
+        # chunk programs run SPMD (params are already replicated). Scoped
+        # to paths GSPMD is known to partition: the XLA pipeline and
+        # interpreter-mode kernels (which lower to ordinary XLA ops).
+        # Real-TPU Pallas programs (tpu_custom_call) carry no partitioning
+        # rule — GSPMD would replicate the kernel work on every chip — so
+        # those stay single-device per chunk until the kernel stages are
+        # shard_map-wrapped. Single chip keeps the device-slice fast path.
         put_chunk = None
-        if self.n_devices > 1 and chunk % self.n_devices == 0:
+        gspmd_partitions = (not self.eval_settings.use_pallas
+                            or self.eval_settings.pallas_interpret)
+        if (self.n_devices > 1 and chunk % self.n_devices == 0
+                and gspmd_partitions):
             # device_put reshards the device-sliced chunk directly
             # (device->devices scatter, no host round-trip)
             put_chunk = lambda x: jax.device_put(x, self.batch_sharding)  # noqa: E731

@@ -41,14 +41,15 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def timeit(fn, *args, iters=10):
-    """Pipelined timing: dispatch `iters` programs, fetch one scalar once
-    (per-call sync would add the ~25 ms tunnel round-trip per program)."""
+    """Pipelined timing: dispatch `iters` programs, fetch ONE scalar once
+    (device programs execute serially, so syncing on the last output covers
+    all of them; per-output fetches would add the ~25 ms tunnel round-trip
+    per iteration and mask the very locality signal being measured)."""
     out = fn(*args)
     _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]
-    for o in outs:
-        _ = float(np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0])
+    _ = float(np.asarray(jax.tree_util.tree_leaves(outs[-1])[0]).ravel()[0])
     return (time.perf_counter() - t0) / iters
 
 
@@ -62,6 +63,7 @@ def main():
                     help="CPU smoke mode (handled at import above)")
     args = ap.parse_args()
 
+    args.rows = args.rows // 4 * 4  # runs of 4 below; keep counts honest
     dt = jnp.dtype(args.dtype)
     key = jax.random.PRNGKey(0)
     table = jax.device_put(

@@ -73,13 +73,18 @@ def main(argv):
         if writer:
             for k, v in metrics.items():
                 writer.add_scalar(k, float(v), step)
-            panel = sys_.val_image_panel()
-            if panel is not None:
+            try:
                 # the reference's per-validation image stack
-                # (train.py:212-218): GT/inst/full rgb + depths + opacity
-                writer.add_images(
-                    "val/GT_pred_depth", panel, step, dataformats="NHWC"
-                )
+                # (train.py:212-218): GT/inst/full rgb + depths + opacity.
+                # Image logging is best-effort like the writer itself —
+                # a missing matplotlib must not kill the run mid-epoch.
+                panel = sys_.val_image_panel()
+                if panel is not None:
+                    writer.add_images(
+                        "val/GT_pred_depth", panel, step, dataformats="NHWC"
+                    )
+            except Exception as e:
+                print(f"  [val] image panel skipped: {e}")
         vp = metrics.get("val/psnr", -np.inf)
         # checkpoint on improvement and at the last validation of each epoch
         # (the reference keeps every epoch + best, train.py:241-251)
