@@ -30,6 +30,9 @@ BASELINE_RAYS_PER_SEC = 20_000.0  # estimated PyTorch CUDA reference (see above)
 W, H = 640, 480
 CHUNK = 7680  # 640×480 = 40 chunks exactly
 ITERS = 5
+TRAIN_BATCH = 2048  # the reference's train batch (default_conf.yml:39)
+TRAIN_WARMUP = 5
+TRAIN_ITERS = 20
 
 
 def _bench_train_step(cfg, use_voxel=False):
@@ -43,10 +46,11 @@ def _bench_train_step(cfg, use_voxel=False):
     from object_nerf_tpu.data.synthetic import SyntheticDataset
     from object_nerf_tpu.train.system import ObjectNeRFSystem
 
+    b = TRAIN_BATCH
     cfg = cfg.copy()
     cfg.dataset_extra.merge(dict(scale_factor=1.0, near=0.5, far=5.0,
                                  scene_center=[0.0, 0.0, 0.0]))
-    cfg.train.batch_size = 2048
+    cfg.train.batch_size = b
     cfg.model.use_voxel_embedding = use_voxel
     with tempfile.TemporaryDirectory() as td:
         if use_voxel:
@@ -66,17 +70,17 @@ def _bench_train_step(cfg, use_voxel=False):
                               dataset_extra=cfg.dataset_extra)
         system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
         rng = np.random.RandomState(0)
-        batches = [ds.sample_batch(2048, rng) for _ in range(8)]
+        batches = [ds.sample_batch(b, rng) for _ in range(8)]
         m = system.training_step(batches[0])
         float(jax.device_get(m["train/loss"]))
-        for i in range(5):
+        for i in range(TRAIN_WARMUP):
             m = system.training_step(batches[i % 8])
         float(jax.device_get(m["train/loss"]))
         t0 = time.perf_counter()
-        for i in range(20):
+        for i in range(TRAIN_ITERS):
             m = system.training_step(batches[i % 8])
         float(jax.device_get(m["train/loss"]))
-        return 2048 / ((time.perf_counter() - t0) / 20)
+        return b / ((time.perf_counter() - t0) / TRAIN_ITERS)
 
 
 def _frame_rays(near=0.5, far=4.0, origin=(0.0, 0.0, 0.0)):
@@ -214,14 +218,14 @@ def main():
     try:
         train_rps = _bench_train_step(cfg)
         extras["train_rays_per_sec"] = round(train_rps, 1)
-        print(f"[bench] train step (b2048, 64+64): {train_rps:,.0f} rays/s",
+        print(f"[bench] train step (b{TRAIN_BATCH}, 64+64): {train_rps:,.0f} rays/s",
               file=sys.stderr)
     except Exception as e:
         print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
     try:
         voxel_rps = _bench_train_step(cfg, use_voxel=True)
         extras["voxel_train_rays_per_sec"] = round(voxel_rps, 1)
-        print(f"[bench] voxel train step (b2048, 64+64): {voxel_rps:,.0f} "
+        print(f"[bench] voxel train step (b{TRAIN_BATCH}, 64+64): {voxel_rps:,.0f} "
               f"rays/s", file=sys.stderr)
     except Exception as e:
         print(f"[bench] voxel train-step bench skipped: {e}", file=sys.stderr)

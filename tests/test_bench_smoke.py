@@ -33,11 +33,15 @@ def test_bench_main_smoke(monkeypatch, capsys):
         return cfg
 
     monkeypatch.setattr(config_mod, "load_config", tiny_load)
-    # 128×6 = 768 rays = 3 chunks of 256; one timed iteration
+    # 128×6 = 768 rays = 3 chunks of 256; one timed iteration; shrunken
+    # train loops (same code path, fewer/smaller steps)
     monkeypatch.setattr(bench, "W", 128)
     monkeypatch.setattr(bench, "H", 6)
     monkeypatch.setattr(bench, "CHUNK", 256)
     monkeypatch.setattr(bench, "ITERS", 1)
+    monkeypatch.setattr(bench, "TRAIN_BATCH", 256)
+    monkeypatch.setattr(bench, "TRAIN_WARMUP", 1)
+    monkeypatch.setattr(bench, "TRAIN_ITERS", 2)
 
     bench.main()
 
