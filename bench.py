@@ -102,28 +102,13 @@ def _time_frames(frame_fn):
     return (time.perf_counter() - t0) / ITERS
 
 
-def _bench_voxel_render(cfg):
-    """Voxel-conditioned eval render — the paper's headline configuration
-    (reference default_conf.yml:8 sets use_voxel_embedding true; the voxel
-    embedding is the paper's differentiator, embedding_helper.py:325-409).
-
-    The grid is synthetic but ScanNet-SCALE: a 6×6×2.5 m room shell
-    (floor + 4 walls + 2 objects) at the reference's 0.1 m ScanNet voxel
-    size with neighbor_marks=3 dilation — cell count and occupied-voxel
-    count in the range of a real ScanNet scene, so the corner-table size,
-    gather traffic, and table capacity all match real-use costs. Rays are
-    bounded so samples land inside the grid.
-    """
-    from object_nerf_tpu.render.renderer import RenderSettings
-    from object_nerf_tpu.train.system import init_params, make_render_fn
-    from object_nerf_tpu.models import voxel_grid as vg
-
-    cfg = cfg.copy()
-    cfg.model.use_voxel_embedding = True
-    cfg.dataset_extra.merge(dict(scale_factor=2.5,
-                                 scene_center=[0.0, 0.0, 1.25],
-                                 voxel_size=0.1, neighbor_marks=3))
-
+def scannet_scale_pcd():
+    """Synthetic but ScanNet-SCALE scene point cloud: a 6×6×2.5 m room
+    shell (floor + 4 walls + 2 objects) — at the reference's 0.1 m ScanNet
+    voxel size with neighbor_marks=3 dilation its cell count and
+    occupied-voxel count are in the range of a real ScanNet scene, so the
+    corner-table size, gather traffic, and table capacity all match
+    real-use costs. Shared by the voxel benches and the edit profiler."""
     rng = np.random.RandomState(0)
     pts = []
     # floor + walls of a 6 × 6 × 2.5 m room (world units)
@@ -138,7 +123,28 @@ def _bench_voxel_render(cfg):
         d = rng.randn(20000, 3)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         pts.append((np.asarray(c) + r * d).astype(np.float32))
-    pcd = np.concatenate(pts)
+    return np.concatenate(pts)
+
+
+def _bench_voxel_render(cfg):
+    """Voxel-conditioned eval render — the paper's headline configuration
+    (reference default_conf.yml:8 sets use_voxel_embedding true; the voxel
+    embedding is the paper's differentiator, embedding_helper.py:325-409).
+
+    The grid is the ScanNet-scale synthetic room (scannet_scale_pcd). Rays
+    are bounded so samples land inside the grid.
+    """
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.train.system import init_params, make_render_fn
+    from object_nerf_tpu.models import voxel_grid as vg
+
+    cfg = cfg.copy()
+    cfg.model.use_voxel_embedding = True
+    cfg.dataset_extra.merge(dict(scale_factor=2.5,
+                                 scene_center=[0.0, 0.0, 1.25],
+                                 voxel_size=0.1, neighbor_marks=3))
+
+    pcd = scannet_scale_pcd()
 
     use_pallas = jax.default_backend() == "tpu"
     settings = RenderSettings.from_config(cfg, is_eval=True,

@@ -15,9 +15,11 @@ Parity with the reference `EditableRenderer`
 * `render_origin` renders the unedited scene through the same path;
 * `load_frame_meta` reads dataset camera poses (+fov) for demo trajectories.
 
-TPU-native: pose math stays on the host (numpy, trivially small); each
-chunk of the multi-object render is one jitted program; chunks dispatch
-asynchronously like the eval renderer.
+TPU-native: pose math stays on the host (numpy, trivially small); on TPU
+each chunk dispatches as split programs — Pallas kernel programs isolated
+from the sampling/sort/gather glue (render/multi.make_multi_eval_stages,
+the same measured program-composition win as the single-scene eval) —
+with asynchronous chunk dispatch; elsewhere a chunk is one jitted program.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from ..config import Config
 from ..data.ray_utils import get_ray_directions, get_rays
 from ..data.geo_utils import center_pose_from_avg
 from ..render.renderer import RenderSettings
-from ..render.multi import render_rays_multi
+from ..render.multi import render_rays_multi, make_multi_eval_stages
 from .bbox import BBoxRayHelper, boxes_to_arrays
 
 
@@ -96,6 +98,7 @@ class EditableRenderer:
         self.bbox_enlarge = 0.0
         self.key = jax.random.PRNGKey(0)
         self._chunk_fns = {}
+        self._ct_fn = None
 
     # -- model loading ---------------------------------------------------------
     def _load_model(self, ckpt_path):
@@ -214,6 +217,29 @@ class EditableRenderer:
         )
 
     # -- rendering ------------------------------------------------------------
+    def _prebuild_corner_table(self):
+        """Eval-only: the voxel corner table is a pure function of the
+        frozen features — build it ONCE per frame and thread it through
+        every chunk program (same hoist as train/system.make_render_fn)."""
+        from ..models import voxel_grid as vg
+
+        if self._ct_fn is None:
+            _, _, static = self.voxel_ctx
+            lowp = (
+                self.settings.use_pallas
+                and self.settings.pallas_dtype == "bfloat16"
+            )
+
+            @jax.jit
+            def ct_fn(features, voxel_topo):
+                return vg.make_corner_table(
+                    features, voxel_topo, static, lowp=lowp
+                )
+
+            self._ct_fn = ct_fn
+        _, topo, _ = self.voxel_ctx
+        return self._ct_fn(self.params["voxel_features"], topo)
+
     def _render_multi(self, rays_list, obj_ids, white_back, chunk):
         n = rays_list[0].shape[0]
         skip_helpers = self.get_skipping_bbox_helper()
@@ -228,23 +254,45 @@ class EditableRenderer:
             is_eval=True,
         )
 
-        sig = (tuple(obj_ids), white_back, chunk, skip_boxes is not None)
+        # split-program fast path (TPU): Pallas kernel programs isolated
+        # from the sampling/sort/gather glue (render/multi.
+        # make_multi_eval_stages — the same measured program-composition
+        # effect the single-scene eval split exploits). The voxel path
+        # additionally needs the dense corner-table route.
+        use_split = settings.use_pallas
+        voxel_topo = voxel_static = None
+        if self.voxel_ctx is not None:
+            from ..models import voxel_grid as vg
+
+            _, voxel_topo, voxel_static = self.voxel_ctx
+            use_split = use_split and vg._dense_path_ok(voxel_static)
+
+        sig = (tuple(obj_ids), white_back, chunk, skip_boxes is not None,
+               use_split)
         if sig not in self._chunk_fns:
-            def fn(params, rays_stack, key, voxel_features, sboxes):
-                voxel_ctx = None
-                if self.voxel_ctx is not None:
-                    _, topo, static = self.voxel_ctx
-                    voxel_ctx = (voxel_features, topo, static)
-                out = render_rays_multi(
-                    params, list(rays_stack), tuple(obj_ids), key, settings,
-                    voxel_ctx=voxel_ctx, skip_boxes=sboxes,
+            if use_split:
+                self._chunk_fns[sig] = make_multi_eval_stages(
+                    settings, tuple(obj_ids), voxel_static=voxel_static,
                 )
-                typ = "fine" if settings.N_importance > 0 else "coarse"
-                return {k: out[k] for k in
-                        (f"rgb_{typ}", f"depth_{typ}", f"opacity_{typ}")}
-            self._chunk_fns[sig] = jax.jit(fn)
+            else:
+                def fn(params, rays_stack, key, voxel_features, sboxes):
+                    voxel_ctx = None
+                    if self.voxel_ctx is not None:
+                        _, topo, static = self.voxel_ctx
+                        voxel_ctx = (voxel_features, topo, static)
+                    out = render_rays_multi(
+                        params, list(rays_stack), tuple(obj_ids), key,
+                        settings, voxel_ctx=voxel_ctx, skip_boxes=sboxes,
+                    )
+                    typ = "fine" if settings.N_importance > 0 else "coarse"
+                    return {k: out[k] for k in
+                            (f"rgb_{typ}", f"depth_{typ}", f"opacity_{typ}")}
+                self._chunk_fns[sig] = jax.jit(fn)
         fn = self._chunk_fns[sig]
 
+        ct = None
+        if use_split and self.voxel_ctx is not None:
+            ct = self._prebuild_corner_table()
         voxel_features = (
             self.params.get("voxel_features")
             if self.voxel_ctx is not None
@@ -259,11 +307,17 @@ class EditableRenderer:
                 chunk_rays = [
                     jnp.concatenate([r, jnp.repeat(r[-1:], pad, 0)]) for r in chunk_rays
                 ]
-            self.key, sub = jax.random.split(self.key)
-            outs.append(
-                fn(self.params, jnp.stack(chunk_rays), sub, voxel_features,
-                   skip_boxes)
-            )
+            if use_split:
+                outs.append(
+                    fn(self.params, jnp.stack(chunk_rays),
+                       voxel_topo=voxel_topo, ct=ct, skip_boxes=skip_boxes)
+                )
+            else:
+                self.key, sub = jax.random.split(self.key)
+                outs.append(
+                    fn(self.params, jnp.stack(chunk_rays), sub,
+                       voxel_features, skip_boxes)
+                )
         merged = {
             k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]
             for k in outs[0]

@@ -405,6 +405,25 @@ def prepare_kernel_weights(
     return tuple(names), arrays
 
 
+def _ray_tile(n_rays: int, s: int, rows_budget: int) -> int:
+    """Rays per tile: the largest r ≤ rows_budget // s that divides n_rays
+    AND keeps the per-ray (r, C) blocks sublane-aligned — Mosaic requires
+    the second-minor block dim divisible by 8 unless the block spans the
+    whole array. (Found the hard way: a 7680-ray voxel chunk yielded
+    r = 1536 // 128 = 12, which divides 7680 but is not a multiple of 8 —
+    lowering error.) Falls back to one all-rays tile when n_rays has no
+    aligned divisor (only possible when n_rays itself isn't a multiple of
+    8, i.e. tiny CPU-test shapes — real chunks are 8-aligned)."""
+    r = min(max(1, rows_budget // s), n_rays)
+    if r < n_rays:
+        r = (r // 8) * 8
+        while r >= 8 and n_rays % r:
+            r -= 8
+        if r < 8:
+            r = n_rays
+    return r
+
+
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
@@ -444,10 +463,9 @@ def fused_mlp_eval(
             # wider voxel inputs want smaller tiles (measured post-concat
             # refactor: 1536 ≈ 1024 < 2048)
             rows_budget = (3 * rows_budget) // 4
-        rays_per_tile = max(1, rows_budget // s)
-    r = min(rays_per_tile, n_rays)
-    while n_rays % r:
-        r -= 1
+    else:
+        rows_budget = rays_per_tile * s
+    r = _ray_tile(n_rays, s, rows_budget)
     rows = r * s
     grid = (n_rays // r,)
 
@@ -634,10 +652,7 @@ def fused_render_tiles(
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
-    r = max(1, rows_budget // s)
-    r = min(r, n_rays)
-    while n_rays % r:
-        r -= 1
+    r = _ray_tile(n_rays, s, rows_budget)
     rows = r * s
     grid = (n_rays // r,)
 
@@ -781,10 +796,7 @@ def fused_coarse_weights(
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
-    r = max(1, rows_budget // s)
-    r = min(r, n_rays)
-    while n_rays % r:
-        r -= 1
+    r = _ray_tile(n_rays, s, rows_budget)
     rows = r * s
     grid = (n_rays // r,)
 

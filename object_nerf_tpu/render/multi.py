@@ -96,6 +96,7 @@ def _eval_object(
             forward_instance=instance_id > 0,
             compute_scene=instance_id == 0,
             dtype=jnp.dtype(settings.pallas_dtype).type,
+            interpret=settings.pallas_interpret,
         )
         sigma, rgb = (sigma_i, rgb_i) if instance_id > 0 else (sigma_s, rgb_s)
     else:
@@ -114,16 +115,31 @@ def _eval_object(
         sigma = sigma.reshape(n, s)
         rgb = rgb.reshape(n, s, 3)
 
-    # mute rays whose bbox intersection missed (far == 0)
-    muted = z_vals[:, -1] == 0
-    sigma = jnp.where(muted[:, None], MUTE_SIGMA, sigma)
+    inb = _removal_mask(xyz, instance_id, skip_boxes)
+    return rgb, _mute_sigma(sigma, z_vals, inb)
 
-    # mute background samples inside removed objects
-    if instance_id == 0 and skip_boxes is not None:
-        affines, bounds, scale = skip_boxes
-        inb = _in_any_box(flat, affines, bounds, scale).reshape(n, s)
+
+def _removal_mask(xyz, instance_id: int, skip_boxes):
+    """(N, S) bool: background samples inside removed-object boxes, or None.
+
+    Only the background set (id 0) is carved out
+    (multi_rendering.py:239-241,309-311)."""
+    if instance_id != 0 or skip_boxes is None:
+        return None
+    affines, bounds, scale = skip_boxes
+    return _in_any_box(
+        xyz.reshape(-1, 3), affines, bounds, scale
+    ).reshape(xyz.shape[:2])
+
+
+def _mute_sigma(sigma, z_vals, inb=None):
+    """Muting shared by the monolithic and split-program paths: rays whose
+    bbox intersection missed (far == 0 ⇒ all-zero z) and removal-box
+    samples both get sigma = -1e5 (multi_rendering.py:40-41,83,92)."""
+    sigma = jnp.where((z_vals[:, -1] == 0)[:, None], MUTE_SIGMA, sigma)
+    if inb is not None:
         sigma = jnp.where(inb, MUTE_SIGMA, sigma)
-    return rgb, sigma
+    return sigma
 
 
 def _composite_multi(
@@ -245,3 +261,186 @@ def render_rays_multi(
             keep_sort_idx=False,
         )
     return results
+
+
+def make_multi_eval_stages(
+    settings: RenderSettings,
+    obj_instance_ids: Sequence[int],
+    voxel_static=None,
+):
+    """The multi-object eval chunk renderer as SEPARATE jitted programs:
+    Pallas kernels isolated from the sampling / sort-merge / gather glue.
+
+    Same measured program-composition effect the single-scene eval split
+    exploits (renderer.make_fused_eval_stages): an XLA op sharing a program
+    with a large-VMEM Pallas call runs 2-4× slower than standalone, so the
+    monolithic `render_rays_multi` jit — K kernel calls interleaved with
+    stratified sampling, code/voxel gathers, two sort-merge composites and
+    a pdf resample — pays that tax on every glue op. Here kernel programs
+    contain ONLY the fused MLP eval (+ the trivial dir-PE matmul); all glue
+    lives in kernel-free programs. Per chunk with K ray sets the dispatch
+    is 2K+3 programs (prep, K coarse kernels, merge, K fine kernels,
+    final composite), overlapped by the caller's async chunk pipeline.
+
+    Math is bit-identical to `render_rays_multi` under eval settings
+    (perturb=0, noise_std=0): the same mute/composite/pdf helpers run on
+    the same inputs, only program boundaries move.
+
+    Returns render_chunk(params, rays_stack (K,N,8), voxel_topo, ct,
+    skip_boxes) -> final-typ maps {rgb,depth,opacity}_{fine|coarse} — the
+    contract EditableRenderer._render_multi consumes. For the voxel path
+    pass voxel_static plus a prebuilt corner table `ct`
+    (models/voxel_grid.make_corner_table, built once per frame).
+    """
+    from ..models.voxel_grid import voxel_lookup_dense
+    from ..ops.pallas_mlp import fused_mlp_eval
+
+    assert settings.perturb == 0 and settings.noise_std == 0, (
+        "the split multi render is the deterministic eval path"
+    )
+    mlp = settings.mlp
+    kdtype = jnp.dtype(settings.pallas_dtype).type
+    lowp = settings.pallas_dtype == "bfloat16"
+    use_voxel = voxel_static is not None
+    ids = tuple(int(i) for i in obj_instance_ids)
+    n_obj = len(ids)
+    n_samples = settings.N_samples
+    typ_final = "fine" if settings.N_importance > 0 else "coarse"
+
+    def lookup(voxel_topo, ct, xyz):
+        if not use_voxel:
+            return None
+        raw, _ = voxel_lookup_dense(
+            None, voxel_topo, voxel_static, xyz.reshape(-1, 3), lowp=lowp,
+            ct=ct,
+        )
+        return raw.reshape(xyz.shape[0], xyz.shape[1], -1)
+
+    @jax.jit
+    def stage_prep(params, rays_stack, voxel_topo, ct, skip_boxes):
+        """Kernel-free: per object — stratified z, sample positions, voxel
+        gather, latent-code lookup, removal-box mask."""
+        out = []
+        for i in range(n_obj):
+            rays = rays_stack[i]
+            z = stratified_sample(
+                None, rays[:, 6:7], rays[:, 7:8], n_samples,
+                settings.use_disp, 0.0,
+            )
+            xyz = rays[:, None, 0:3] + rays[:, None, 3:6] * z[..., None]
+            codes = None
+            if ids[i] > 0:
+                codes = lookup_codes(
+                    params["code_library"],
+                    jnp.full((rays.shape[0],), ids[i], jnp.int32),
+                )
+            out.append((z, xyz, lookup(voxel_topo, ct, xyz), codes,
+                        _removal_mask(xyz, ids[i], skip_boxes)))
+        return tuple(out)
+
+    @jax.jit
+    def stage_scene_kernel(mlp_params, rays, xyz, vox):
+        dir_pe = freq_encode(rays[:, 3:6], mlp.N_freq_dir)
+        sigma, rgb, _, _ = fused_mlp_eval(
+            mlp_params, mlp, xyz, dir_pe, voxel_raw=vox,
+            forward_instance=False, compute_scene=True,
+            dtype=kdtype, interpret=settings.pallas_interpret,
+        )
+        return sigma, rgb
+
+    @jax.jit
+    def stage_inst_kernel(mlp_params, rays, xyz, vox, codes):
+        dir_pe = freq_encode(rays[:, 3:6], mlp.N_freq_dir)
+        _, _, sigma, rgb = fused_mlp_eval(
+            mlp_params, mlp, xyz, dir_pe, obj_codes=codes, voxel_raw=vox,
+            forward_instance=True, compute_scene=False,
+            dtype=kdtype, interpret=settings.pallas_interpret,
+        )
+        return sigma, rgb
+
+    def run_kernels(params, typ, rays_stack, per_obj, codes_list):
+        """One kernel-only program per ray set (scene or instance branch —
+        multi_rendering.py:63-72 branch selection). codes_list comes from
+        stage_prep and is shared by the coarse AND fine passes."""
+        outs = []
+        for i in range(n_obj):
+            _, xyz, vox, _, _ = per_obj[i]
+            if ids[i] > 0:
+                outs.append(stage_inst_kernel(
+                    params[typ], rays_stack[i], xyz, vox, codes_list[i]))
+            else:
+                outs.append(stage_scene_kernel(
+                    params[typ], rays_stack[i], xyz, vox))
+        return outs
+
+    def _muted_lists(z_list, sig_rgb, inb_list):
+        rgb_list, sigma_list = [], []
+        for i in range(n_obj):
+            sigma, rgb = sig_rgb[i]
+            sigma_list.append(_mute_sigma(sigma, z_list[i], inb_list[i]))
+            rgb_list.append(rgb)
+        return rgb_list, sigma_list
+
+    @jax.jit
+    def stage_merge(rays_stack, z_tuple, inb_tuple, sig_rgb, voxel_topo,
+                    ct, skip_boxes):
+        """Kernel-free: joint coarse composite → per-object pdf weights →
+        fine sample positions, gathers and masks."""
+        z_list = list(z_tuple)
+        rgb_list, sigma_list = _muted_lists(z_list, sig_rgb, list(inb_tuple))
+        results: Dict[str, jnp.ndarray] = {}
+        _composite_multi(
+            results, "coarse", z_list, rgb_list, sigma_list,
+            None, 0.0, settings.white_back, keep_sort_idx=True,
+        )
+        inv = jnp.argsort(results["sort_idx_coarse"], axis=-1)
+        w_orig = jnp.take_along_axis(results["weights_coarse"], inv, axis=-1)
+        out = []
+        for i in range(n_obj):
+            w_i = w_orig[:, i * n_samples : (i + 1) * n_samples]
+            z = z_list[i]
+            z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+            z_imp = sample_pdf(
+                None, z_mid, w_i[:, 1:-1], settings.N_importance, det=True,
+            )
+            z_all = jnp.sort(jnp.concatenate([z, z_imp], -1), -1)
+            xyz_f = (
+                rays_stack[i][:, None, 0:3]
+                + rays_stack[i][:, None, 3:6] * z_all[..., None]
+            )
+            out.append((z_all, xyz_f, lookup(voxel_topo, ct, xyz_f), None,
+                        _removal_mask(xyz_f, ids[i], skip_boxes)))
+        return tuple(out)
+
+    @jax.jit
+    def stage_final(z_tuple, inb_tuple, sig_rgb):
+        """Kernel-free: mute + joint sort-merge composite of the final pass."""
+        z_list = list(z_tuple)
+        rgb_list, sigma_list = _muted_lists(z_list, sig_rgb, list(inb_tuple))
+        results: Dict[str, jnp.ndarray] = {}
+        _composite_multi(
+            results, typ_final, z_list, rgb_list, sigma_list,
+            None, 0.0, settings.white_back, keep_sort_idx=False,
+        )
+        return {k: results[k] for k in (
+            f"rgb_{typ_final}", f"depth_{typ_final}", f"opacity_{typ_final}",
+        )}
+
+    def render_chunk(params, rays_stack, voxel_topo=None, ct=None,
+                     skip_boxes=None):
+        prep = stage_prep(params, rays_stack, voxel_topo, ct, skip_boxes)
+        codes_list = [p[3] for p in prep]
+        coarse = run_kernels(params, "coarse", rays_stack, prep, codes_list)
+        if settings.N_importance > 0:
+            fine_meta = stage_merge(
+                rays_stack, tuple(p[0] for p in prep),
+                tuple(p[4] for p in prep), coarse, voxel_topo, ct, skip_boxes,
+            )
+            fine = run_kernels(params, "fine", rays_stack, fine_meta,
+                               codes_list)
+            return stage_final(tuple(m[0] for m in fine_meta),
+                               tuple(m[4] for m in fine_meta), fine)
+        return stage_final(tuple(p[0] for p in prep),
+                           tuple(p[4] for p in prep), coarse)
+
+    return render_chunk

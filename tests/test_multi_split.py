@@ -1,0 +1,196 @@
+"""Split-program multi-object eval (render/multi.make_multi_eval_stages).
+
+The staged renderer moves program boundaries only — same mute/composite/
+pdf helpers on the same inputs as the monolithic `render_rays_multi` —
+so its maps must match the monolithic XLA path to fused-kernel tolerance
+(the kernels reassociate matmul accumulation; same tolerances as
+test_multi_render.test_pallas_path_matches_xla).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from object_nerf_tpu.models.mlp import ObjectNeRFConfig, init_object_nerf
+from object_nerf_tpu.models.code_library import init_code_library
+from object_nerf_tpu.render.renderer import RenderSettings
+from object_nerf_tpu.render.multi import (
+    render_rays_multi,
+    make_multi_eval_stages,
+)
+
+CFG = ObjectNeRFConfig(
+    D=2, W=32, skips=(1,), inst_D=2, inst_W=16, inst_skips=(1,),
+    use_voxel_embedding=False, N_obj_code_length=8,
+)
+SETTINGS = RenderSettings(
+    mlp=CFG, N_samples=12, N_importance=6, perturb=0.0, noise_std=0.0,
+    is_eval=True,
+)
+# interpret-mode f32 kernels: the CPU-testable stand-in for the TPU path
+SETTINGS_SPLIT = dataclasses.replace(
+    SETTINGS, use_pallas=True, pallas_interpret=True, pallas_dtype="float32",
+)
+FINAL_KEYS = ("rgb_fine", "depth_fine", "opacity_fine")
+
+
+def _params(cfg=CFG):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    return {
+        "coarse": init_object_nerf(k1, cfg),
+        "fine": init_object_nerf(k2, cfg),
+        "code_library": init_code_library(k3, 16, cfg.N_obj_code_length),
+    }
+
+
+def _rays(n=6, near=0.5, far=3.0, seed=0):
+    rng = np.random.RandomState(seed)
+    o = rng.randn(n, 3).astype(np.float32) * 0.05
+    d = rng.randn(n, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(np.concatenate(
+        [o, d, np.full((n, 1), near, np.float32),
+         np.full((n, 1), far, np.float32)], -1,
+    ))
+
+
+def _assert_matches(got, ref, keys=FINAL_KEYS, **tol):
+    tol = tol or dict(rtol=1e-3, atol=5e-4)
+    for key in keys:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), err_msg=key, **tol,
+        )
+
+
+def test_split_matches_monolithic_two_objects():
+    params = _params()
+    rays = _rays()
+    rays2 = _rays(seed=3)
+    ref = render_rays_multi(
+        params, [rays, rays2], (0, 5), jax.random.PRNGKey(0), SETTINGS,
+    )
+    chunk_fn = make_multi_eval_stages(SETTINGS_SPLIT, (0, 5))
+    got = chunk_fn(params, jnp.stack([rays, rays2]))
+    _assert_matches(got, ref)
+
+
+def test_split_muted_rays_transparent():
+    rays = np.asarray(_rays()).copy()
+    rays[:3, 6:8] = 0.0  # bbox miss ⇒ muted
+    chunk_fn = make_multi_eval_stages(SETTINGS_SPLIT, (0,))
+    got = chunk_fn(_params(), jnp.stack([jnp.asarray(rays)]))
+    assert np.all(np.asarray(got["opacity_fine"])[:3] < 1e-5)
+
+
+def test_split_removal_boxes_mute_background():
+    params = _params()
+    rays = _rays()
+    affine = jnp.eye(4)[None]
+    bounds = jnp.asarray([[[-100.0, -100, -100], [100, 100, 100]]])
+    skip = (affine, bounds, 1.0)
+    ref = render_rays_multi(
+        params, [rays], (0,), jax.random.PRNGKey(0), SETTINGS,
+        skip_boxes=skip,
+    )
+    chunk_fn = make_multi_eval_stages(SETTINGS_SPLIT, (0,))
+    got = chunk_fn(params, jnp.stack([rays]), skip_boxes=skip)
+    assert float(np.asarray(got["opacity_fine"]).max()) < 1e-5
+    _assert_matches(got, ref)
+
+
+def test_split_coarse_only():
+    params = _params()
+    rays = _rays()
+    s = dataclasses.replace(SETTINGS, N_importance=0)
+    ref = render_rays_multi(params, [rays], (0,), jax.random.PRNGKey(0), s)
+    chunk_fn = make_multi_eval_stages(
+        dataclasses.replace(SETTINGS_SPLIT, N_importance=0), (0,),
+    )
+    got = chunk_fn(params, jnp.stack([rays]))
+    _assert_matches(
+        got, ref, keys=("rgb_coarse", "depth_coarse", "opacity_coarse"),
+    )
+
+
+def test_split_voxel_path():
+    from object_nerf_tpu.models import voxel_grid as vg
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    pts = np.random.RandomState(0).rand(400, 3) * 3 - 1.5
+    features, topo, static = vg.build_voxel_grid(
+        pts, [0, 0, 0], 1.0, 0.4, 3, 24, 2, 20000,
+        key=jax.random.PRNGKey(4),
+    )
+    assert vg._dense_path_ok(static)
+    params = _params(cfg)
+    params["voxel_features"] = features
+    rays = _rays(8)
+    rays2 = _rays(8, seed=5)
+    settings = dataclasses.replace(SETTINGS, mlp=cfg)
+    ref = render_rays_multi(
+        params, [rays, rays2], (0, 3), jax.random.PRNGKey(0), settings,
+        voxel_ctx=(features, topo, static),
+    )
+    chunk_fn = make_multi_eval_stages(
+        dataclasses.replace(SETTINGS_SPLIT, mlp=cfg), (0, 3),
+        voxel_static=static,
+    )
+    ct = vg.make_corner_table(features, topo, static)
+    got = chunk_fn(params, jnp.stack([rays, rays2]), voxel_topo=topo, ct=ct)
+    _assert_matches(got, ref)
+
+
+def test_editable_renderer_routes_split_path():
+    """EditableRenderer._render_multi with pallas settings dispatches the
+    staged path (incl. corner-table prebuild) and matches the XLA path."""
+    from object_nerf_tpu.edit.editable_renderer import EditableRenderer
+    from object_nerf_tpu.models import voxel_grid as vg
+    from object_nerf_tpu.config import Config
+
+    cfg = dataclasses.replace(CFG, use_voxel_embedding=True, N_freq_voxel=2)
+    pts = np.random.RandomState(1).rand(400, 3) * 3 - 1.5
+    features, topo, static = vg.build_voxel_grid(
+        pts, [0, 0, 0], 1.0, 0.4, 3, 24, 2, 20000,
+        key=jax.random.PRNGKey(7),
+    )
+    params = _params(cfg)
+    params["voxel_features"] = features
+
+    conf = Config({
+        "ckpt_config": {
+            "dataset_name": "toydesk",
+            "model": {
+                "use_voxel_embedding": True,
+                "D": 2, "W": 32, "skips": [1],
+                "inst_D": 2, "inst_W": 16, "inst_skips": [1],
+                "N_freq_xyz": 10, "N_freq_dir": 4, "N_freq_voxel": 2,
+                "N_scn_voxel_size": 16, "N_obj_voxel_size": 8,
+                "N_samples": 12, "N_importance": 6,
+                "frustum_bound": -1, "use_disp": False,
+                "perturb": 0, "noise_std": 0,
+                "N_max_objs": 16, "N_obj_code_length": 8,
+            },
+            "dataset_extra": {
+                "near": 0.5, "far": 3.0, "scale_factor": 1.0,
+                "scene_center": [0.0, 0.0, 0.0],
+            },
+        },
+    })
+    r = EditableRenderer(conf, params=params,
+                         voxel=(features, topo, static))
+    r.settings = dataclasses.replace(SETTINGS_SPLIT, mlp=cfg)
+
+    pose = np.eye(4)
+    got = r.render_origin(4, 6, pose, fovx_deg=70, chunk=8)
+    assert set(got) == set(FINAL_KEYS)
+    assert got["rgb_fine"].shape == (24, 3)
+    # the renderer cached a staged chunk fn under a use_split=True sig
+    assert any(sig[-1] for sig in r._chunk_fns)
+
+    r_xla = EditableRenderer(conf, params=params,
+                             voxel=(features, topo, static))
+    r_xla.settings = dataclasses.replace(SETTINGS, mlp=cfg)
+    ref = r_xla.render_origin(4, 6, pose, fovx_deg=70, chunk=8)
+    _assert_matches(got, ref)
