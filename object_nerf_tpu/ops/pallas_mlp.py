@@ -405,28 +405,87 @@ def prepare_kernel_weights(
     return tuple(names), arrays
 
 
-def _ray_tile(n_rays: int, s: int, rows_budget: int) -> int:
+def _ray_tile(n_rays: int, s: int, rows_budget: int, *,
+              interpret: bool = False, exact: Optional[int] = None) -> int:
     """Rays per tile: the largest r ≤ rows_budget // s that divides n_rays
     AND keeps the per-ray (r, C) blocks sublane-aligned — Mosaic requires
     the second-minor block dim divisible by 8 unless the block spans the
     whole array. (Found the hard way: a 7680-ray voxel chunk yielded
     r = 1536 // 128 = 12, which divides 7680 but is not a multiple of 8 —
-    lowering error.) Falls back to one all-rays tile when n_rays has no
-    aligned divisor (only possible when n_rays itself isn't a multiple of
-    8, i.e. tiny CPU-test shapes — real chunks are 8-aligned)."""
+    lowering error.)
+
+    `exact` (interpret mode only) honors a caller-requested tile that
+    divides n_rays even when unaligned — interpreter kernels have no
+    sublane constraint, and CPU tests use it to exercise the multi-tile
+    grid path at tiny shapes.
+
+    When no aligned divisor fits the budget: clamp to the minimum aligned
+    tile (r=8) if n_rays allows, fall back to one all-rays tile for tiny
+    unaligned shapes (interpret-mode tests), and otherwise REFUSE — an
+    n_rays·s-row tile would silently blow the ~16 MB/core VMEM budget the
+    rows_budget exists to respect."""
+    if exact is not None and interpret and n_rays % exact == 0:
+        return exact
     r = min(max(1, rows_budget // s), n_rays)
     if r < n_rays:
         r = (r // 8) * 8
         while r >= 8 and n_rays % r:
             r -= 8
         if r < 8:
-            r = n_rays
+            if n_rays % 8 == 0:
+                # smallest aligned tile (8·s rows may exceed rows_budget —
+                # bounded and loud is better than an n_rays·s-row tile)
+                r = 8
+            elif interpret or n_rays * s <= max(rows_budget, 8 * s):
+                r = n_rays  # tiny CPU-test shapes
+            else:
+                raise ValueError(
+                    f"no 8-aligned ray tile divides n_rays={n_rays} under "
+                    f"rows_budget={rows_budget} (S={s}); pad the ray count "
+                    f"to a multiple of 8"
+                )
     return r
 
 
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
+
+
+def shard_over_rays(mesh, n_rays: int) -> bool:
+    """Should a kernel launch shard its leading (ray) axis over `mesh`?
+
+    GSPMD has no partitioning rule for `tpu_custom_call`, so a Pallas call
+    inside a jitted program would otherwise run replicated on every chip of
+    a >1-device mesh. Every launcher in this module therefore wraps itself
+    in `jax.shard_map` over the mesh's (single) axis when given one — rays
+    are embarrassingly parallel, parameters replicate, and the backward
+    kernel psums its weight grads (the reference's DDP all-reduce,
+    train.py:261-262). The surrounding glue programs stay under plain
+    GSPMD, which partitions them bit-exactly."""
+    return (
+        mesh is not None
+        and getattr(mesh, "size", 1) > 1
+        and n_rays % mesh.size == 0
+    )
+
+
+def _ray_sharded(fn, mesh, *, n_replicated: int, n_sharded: int, out_specs):
+    """shard_map `fn(replicated..., sharded...)` over the mesh's ray axis.
+
+    `out_specs` is the output pytree with bool leaves: True = ray-sharded,
+    False = replicated (e.g. psum'd weight grads)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    specs = (P(),) * n_replicated + (P(axis),) * n_sharded
+    out = jax.tree_util.tree_map(
+        lambda shard: P(axis) if shard else P(), out_specs,
+        is_leaf=lambda x: isinstance(x, bool),
+    )
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=specs, out_specs=out, check_vma=False
+    )
 
 
 def fused_mlp_eval(
@@ -443,12 +502,16 @@ def fused_mlp_eval(
     interpret: bool = False,
     rows_budget: int = 2048,
     vmem_limit_mb: int = 100,
+    mesh=None,
 ):
     """Evaluate both branches over all rays×samples in one fused kernel.
 
     Tile size defaults to ~rows_budget rows (rays_per_tile = rows_budget // S)
     — measured sweet spot on v5e: big enough to fill the MXU, small enough
     that the f32 activations (rows × W) stay within the VMEM budget.
+
+    `mesh`: shard the ray axis over a >1-device mesh via shard_map
+    (see `shard_over_rays`); params replicate, outputs stay ray-sharded.
 
     Returns (sigma (n_rays,S), rgb (n_rays,S,3), inst_sigma, inst_rgb);
     instance outputs are zeros when forward_instance=False.
@@ -458,6 +521,21 @@ def fused_mlp_eval(
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
+    if shard_over_rays(mesh, n_rays):
+        local = functools.partial(
+            fused_mlp_eval, cfg=cfg, forward_instance=forward_instance,
+            compute_scene=compute_scene, rays_per_tile=rays_per_tile,
+            dtype=dtype, interpret=interpret, rows_budget=rows_budget,
+            vmem_limit_mb=vmem_limit_mb, mesh=None,
+        )
+        fn = _ray_sharded(
+            lambda p, x, d, c, v: local(p, xyz=x, dir_pe=d, obj_codes=c,
+                                        voxel_raw=v),
+            mesh=mesh, n_replicated=1, n_sharded=4,
+            out_specs=(True, True, True, True),
+        )
+        return fn(mlp_params, xyz, dir_pe, obj_codes, voxel_raw)
+
     if rays_per_tile is None:
         if use_voxel:
             # wider voxel inputs want smaller tiles (measured post-concat
@@ -465,7 +543,8 @@ def fused_mlp_eval(
             rows_budget = (3 * rows_budget) // 4
     else:
         rows_budget = rays_per_tile * s
-    r = _ray_tile(n_rays, s, rows_budget)
+    r = _ray_tile(n_rays, s, rows_budget, interpret=interpret,
+                  exact=rays_per_tile)
     rows = r * s
     grid = (n_rays // r,)
 
@@ -635,6 +714,7 @@ def fused_render_tiles(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     vmem_limit_mb: int = 100,
+    mesh=None,
 ):
     """One fused pass: PE → both MLP branches → alpha compositing, all in
     VMEM. HBM sees only per-ray inputs/outputs (plus xyz/voxel per sample) —
@@ -642,6 +722,8 @@ def fused_render_tiles(
 
     Deterministic eval semantics (perturb=0/noise=0 — the train step
     composites in XLA outside the kernel programs; train/split_step.py).
+
+    `mesh`: shard the ray axis over a >1-device mesh (see shard_over_rays).
 
     Returns a dict: rgb (n,3), depth (n,), opacity (n,), and when
     forward_instance also rgb_instance/depth_instance/opacity_instance,
@@ -652,7 +734,22 @@ def fused_render_tiles(
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
-    r = _ray_tile(n_rays, s, rows_budget)
+    if shard_over_rays(mesh, n_rays):
+        local = functools.partial(
+            fused_render_tiles, cfg=cfg, forward_instance=forward_instance,
+            last_delta_inf=last_delta_inf, want_weights=want_weights,
+            white_back=white_back, rows_budget=rows_budget, dtype=dtype,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb, mesh=None,
+        )
+        fn = _ray_sharded(
+            lambda p, x, z, d, c, v: local(p, xyz=x, z_vals=z, dir_pe=d,
+                                           obj_codes=c, voxel_raw=v),
+            mesh=mesh, n_replicated=1, n_sharded=5,
+            out_specs=True,  # every output map is per-ray
+        )
+        return fn(mlp_params, xyz, z_vals, dir_pe, obj_codes, voxel_raw)
+
+    r = _ray_tile(n_rays, s, rows_budget, interpret=interpret)
     rows = r * s
     grid = (n_rays // r,)
 
@@ -781,6 +878,7 @@ def fused_coarse_weights(
     dtype=jnp.bfloat16,
     interpret: bool = False,
     vmem_limit_mb: int = 100,
+    mesh=None,
 ) -> jnp.ndarray:
     """Coarse-pass pdf weights only: scene trunk + sigma head + compositing
     scan, fused in VMEM. The eval renderer discards every other coarse
@@ -789,6 +887,8 @@ def fused_coarse_weights(
     coarse FLOPs and all of its head weight traffic. Bit-matches the
     `weights` output of `fused_render_tiles` (same trunk math, same scan).
 
+    `mesh`: shard the ray axis over a >1-device mesh (see shard_over_rays).
+
     Returns (n_rays, S) float32 weights.
     """
     n_rays, s, _ = xyz.shape
@@ -796,7 +896,19 @@ def fused_coarse_weights(
     if use_voxel and voxel_raw is None:
         raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
 
-    r = _ray_tile(n_rays, s, rows_budget)
+    if shard_over_rays(mesh, n_rays):
+        local = functools.partial(
+            fused_coarse_weights, cfg=cfg, last_delta_inf=last_delta_inf,
+            rows_budget=rows_budget, dtype=dtype, interpret=interpret,
+            vmem_limit_mb=vmem_limit_mb, mesh=None,
+        )
+        fn = _ray_sharded(
+            lambda p, x, z, v: local(p, xyz=x, z_vals=z, voxel_raw=v),
+            mesh=mesh, n_replicated=1, n_sharded=3, out_specs=True,
+        )
+        return fn(mlp_params, xyz, z_vals, voxel_raw)
+
+    r = _ray_tile(n_rays, s, rows_budget, interpret=interpret)
     rows = r * s
     grid = (n_rays // r,)
 

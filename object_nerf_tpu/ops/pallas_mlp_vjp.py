@@ -37,10 +37,12 @@ from .pallas_mlp import (
     prepare_kernel_weights,
     fused_mlp_eval,
     pe_uses_turns,
+    shard_over_rays,
     TWO_PI,
     _broadcast_rows,
     _cos_turns,
     _dot,
+    _ray_sharded,
     _sin_turns,
 )
 
@@ -415,15 +417,41 @@ def _grads_to_pytree(cfg, names, d_arrays, forward_instance):
 def _run_bwd(
     mlp_params, xyz, dir_pe, codes, voxel_raw, g_array,
     *, cfg, forward_instance, bwd_rows_budget, dtype, interpret,
-    bwd_vmem_limit_mb: int = 117,
+    bwd_vmem_limit_mb: int = 117, mesh=None,
 ):
     """Launch the backward kernel over ray tiles and reassemble gradients.
 
     g_array is the (RS, 8) per-sample MLP output cotangent (the
     compositing/loss VJP is XLA's job, outside the kernel program).
+
+    `mesh`: shard the ray axis over a >1-device mesh via shard_map
+    (pallas_mlp.shard_over_rays). The weight gradients are psum'd over the
+    mesh axis inside the wrapper — the DDP all-reduce (reference
+    train.py:261-262) — so they come back replicated and bit-equivalent
+    (mod f32 reduction order) to the single-device gradient; per-ray
+    cotangents (d_codes, d_vox) stay ray-sharded.
     """
     use_voxel = cfg.use_voxel_embedding
     n_rays, s, _ = xyz.shape
+
+    if shard_over_rays(mesh, n_rays):
+        axis = mesh.axis_names[0]
+        local_kw = dict(
+            cfg=cfg, forward_instance=forward_instance,
+            bwd_rows_budget=bwd_rows_budget, dtype=dtype,
+            interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
+            mesh=None,
+        )
+
+        def local(p, x, d, c, v, g):
+            d_params, d_codes, d_vox = _run_bwd(p, x, d, c, v, g, **local_kw)
+            return jax.lax.psum(d_params, axis), d_codes, d_vox
+
+        fn = _ray_sharded(
+            local, mesh=mesh, n_replicated=1, n_sharded=5,
+            out_specs=(False, True, True),
+        )
+        return fn(mlp_params, xyz, dir_pe, codes, voxel_raw, g_array)
     r = max(1, bwd_rows_budget // s)
     r = min(r, n_rays)
     while n_rays % r:
@@ -538,6 +566,7 @@ def make_fused_fwd_bwd(
     interpret: bool = False,
     fwd_vmem_limit_mb: int = 100,
     bwd_vmem_limit_mb: int = 117,
+    mesh=None,
 ):
     """Raw (fwd, bwd) kernel launchers for externally-orchestrated
     differentiation.
@@ -546,6 +575,9 @@ def make_fused_fwd_bwd(
     autodiff; `train/split_step.py` dispatches them directly as separate
     kernel-only XLA programs (XLA ops sharing a program with a large-VMEM
     Pallas call run 2-4× slower — see renderer.make_fused_eval_stages).
+
+    `mesh`: shard the ray axis of both launchers over a >1-device mesh
+    (pallas_mlp.shard_over_rays); bwd psums the weight grads over the mesh.
 
         fwd(mlp_params, xyz, dir_pe, codes, voxel_raw | None)
             -> (sigma (n,S), rgb, inst_sigma, inst_rgb)
@@ -558,7 +590,7 @@ def make_fused_fwd_bwd(
             mlp_params, cfg, xyz, dir_pe, codes,
             forward_instance=forward_instance, voxel_raw=voxel_raw,
             rows_budget=rows_budget, dtype=dtype, interpret=interpret,
-            vmem_limit_mb=fwd_vmem_limit_mb,
+            vmem_limit_mb=fwd_vmem_limit_mb, mesh=mesh,
         )
 
     def bwd_impl(mlp_params, xyz, dir_pe, codes, voxel_raw, g_out):
@@ -567,6 +599,7 @@ def make_fused_fwd_bwd(
             cfg=cfg, forward_instance=forward_instance,
             bwd_rows_budget=bwd_rows_budget, dtype=dtype,
             interpret=interpret, bwd_vmem_limit_mb=bwd_vmem_limit_mb,
+            mesh=mesh,
         )
 
     return fwd_impl, bwd_impl
@@ -582,6 +615,7 @@ def make_fused_mlp_op(
     interpret: bool = False,
     fwd_vmem_limit_mb: int = 100,
     bwd_vmem_limit_mb: int = 117,
+    mesh=None,
 ):
     """Build the differentiable fused-MLP op for a given architecture.
 
@@ -589,12 +623,17 @@ def make_fused_mlp_op(
         op(mlp_params, xyz (n,S,3), dir_pe (n,Cd), codes (n,Cc),
            voxel_raw (n,S,Cv) | None)
         -> (sigma (n,S), rgb (n,S,3), inst_sigma, inst_rgb)
+
+    `mesh` (hashable) shards both kernel launches over the ray axis so the
+    op partitions on >1-chip meshes — GSPMD cannot partition
+    tpu_custom_call, so without this the surrounding jitted program would
+    replicate the kernel work per chip.
     """
     fwd_impl, bwd_impl = make_fused_fwd_bwd(
         cfg, forward_instance, rows_budget=rows_budget,
         bwd_rows_budget=bwd_rows_budget, dtype=dtype, interpret=interpret,
         fwd_vmem_limit_mb=fwd_vmem_limit_mb,
-        bwd_vmem_limit_mb=bwd_vmem_limit_mb,
+        bwd_vmem_limit_mb=bwd_vmem_limit_mb, mesh=mesh,
     )
 
     @jax.custom_vjp

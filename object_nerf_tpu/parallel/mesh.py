@@ -8,14 +8,14 @@ XLA inserts the gradient `psum` over ICI automatically when the train step
 is jitted with these shardings. Multi-host extends the same axis over DCN
 via `jax.distributed` — no user-code changes.
 
-Pallas caveat for real multi-chip meshes: GSPMD has no partitioning rule
-for `tpu_custom_call`, so a jitted program containing a real-TPU Pallas
-kernel replicates that kernel's work per chip instead of splitting it.
-On a >1-chip mesh set `tpu.use_pallas=false` (the pure-XLA paths partition
-and the batch axis scales linearly) until the kernel stages are
-shard_map-wrapped; interpreter-mode kernels (CPU tests) lower to XLA ops
-and partition fine. Single-chip TPU — this environment's hardware — is
-unaffected.
+Pallas on multi-chip meshes: GSPMD has no partitioning rule for
+`tpu_custom_call`, so the kernel launchers in ops/pallas_mlp(_vjp).py
+shard_map THEMSELVES over the mesh's ray axis whenever a >1-device mesh is
+passed (RenderSettings.shard_mesh, set by ObjectNeRFSystem). Parameters
+replicate into each shard, per-ray outputs stay sharded, and the backward
+kernel psums its weight gradients over the mesh — so the fused fast path
+(train split step, eval stages, edit renderer) runs SPMD on every mesh
+size with no configuration changes.
 """
 
 from __future__ import annotations

@@ -97,6 +97,7 @@ def _eval_object(
             compute_scene=instance_id == 0,
             dtype=jnp.dtype(settings.pallas_dtype).type,
             interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
         sigma, rgb = (sigma_i, rgb_i) if instance_id > 0 else (sigma_s, rgb_s)
     else:
@@ -295,9 +296,14 @@ def make_multi_eval_stages(
     from ..models.voxel_grid import voxel_lookup_dense
     from ..ops.pallas_mlp import fused_mlp_eval
 
-    assert settings.perturb == 0 and settings.noise_std == 0, (
-        "the split multi render is the deterministic eval path"
-    )
+    if settings.perturb != 0 or settings.noise_std != 0:
+        # a bare assert would vanish under `python -O` and silently render
+        # without the caller's expected stochastic sampling
+        raise ValueError(
+            "the split multi render is the deterministic eval path "
+            "(requires perturb=0 and noise_std=0); use render_rays_multi "
+            "for stochastic settings"
+        )
     mlp = settings.mlp
     kdtype = jnp.dtype(settings.pallas_dtype).type
     lowp = settings.pallas_dtype == "bfloat16"
@@ -345,6 +351,7 @@ def make_multi_eval_stages(
             mlp_params, mlp, xyz, dir_pe, voxel_raw=vox,
             forward_instance=False, compute_scene=True,
             dtype=kdtype, interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
         return sigma, rgb
 
@@ -355,6 +362,7 @@ def make_multi_eval_stages(
             mlp_params, mlp, xyz, dir_pe, obj_codes=codes, voxel_raw=vox,
             forward_instance=True, compute_scene=False,
             dtype=kdtype, interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
         return sigma, rgb
 

@@ -52,6 +52,10 @@ class RenderSettings:
     pallas_dtype: str = "bfloat16"  # matmul dtype in fused kernels (f32 accum)
     pallas_interpret: bool = False  # interpreter-mode kernels (CPU tests)
     remat: bool = False  # rematerialize MLP evals in the backward pass
+    # >1-device mesh: every Pallas launch shard_maps its ray axis over it
+    # (GSPMD can't partition tpu_custom_call — ops/pallas_mlp.shard_over_rays)
+    # jax.sharding.Mesh is hashable, so settings stay a valid static arg
+    shard_mesh: Optional[Any] = None
 
     @classmethod
     def from_config(cls, cfg, *, white_back=False, is_eval=False, **over):
@@ -138,6 +142,7 @@ def _eval_models(
             settings.mlp, settings.forward_instance,
             dtype=jnp.dtype(settings.pallas_dtype).type,
             interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
         sigma, rgb, i_sigma, i_rgb = op(
             mlp_params, xyz, dir_embedded, codes, voxel_raw
@@ -224,14 +229,15 @@ def render_rays_fused_eval(
     actually consumes. Requires perturb=0/noise_std=0 (eval settings)."""
     from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
 
-    assert settings.perturb == 0 and settings.noise_std == 0, (
-        "fused render is the deterministic eval path"
-    )
-    assert not settings.rays_in_bbox, (
-        "fused eval derives the fine pdf from SCENE weights; rays_in_bbox "
-        "needs instance-weight pdf semantics (reference rendering.py:228-229)"
-        " — use the unfused render path"
-    )
+    if settings.perturb != 0 or settings.noise_std != 0:
+        raise ValueError("fused render is the deterministic eval path")
+    if settings.rays_in_bbox:
+        raise ValueError(
+            "single-program fused eval derives the fine pdf from SCENE "
+            "weights; rays_in_bbox (instance-weight pdf, reference "
+            "rendering.py:228-229) routes through make_fused_eval_stages "
+            "or the unfused render path"
+        )
     rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
     near, far = rays[:, 6:7], rays[:, 7:8]
     n = rays.shape[0]
@@ -252,6 +258,7 @@ def render_rays_fused_eval(
         coarse_weights = fused_coarse_weights(
             params["coarse"], settings.mlp, xyz_c, z_vals,
             voxel_raw=lookup_vox(xyz_c), dtype=kdtype, interpret=interpret,
+            mesh=settings.shard_mesh,
         )
         typ = "coarse"
         out = None
@@ -263,6 +270,7 @@ def render_rays_fused_eval(
             forward_instance=settings.forward_instance,
             want_weights=False,
             white_back=settings.white_back, dtype=kdtype, interpret=interpret,
+            mesh=settings.shard_mesh,
         )
         typ = "coarse"
         out = coarse
@@ -282,6 +290,7 @@ def render_rays_fused_eval(
             forward_instance=settings.forward_instance,
             want_weights=False, white_back=settings.white_back,
             dtype=kdtype, interpret=interpret,
+            mesh=settings.shard_mesh,
         )
         typ = "fine"
 
@@ -312,21 +321,29 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
     Host dispatch (~1 ms/program, 4/chunk) overlaps device work in the
     async chunk pipeline.
 
+    rays_in_bbox configs (toy_desk use_bbox) take the instance-weight pdf
+    (reference rendering.py:228-229): the coarse pass runs the FULL fused
+    kernel (both branches) and the kernel-free glue reproduces
+    `_composite_pass` on its raw outputs — bit-identical weights routing,
+    same program count per chunk.
+
     Returns render_chunk(params, rays, codes, voxel_topo, ct) -> final-typ
     maps (same contract as render_rays_fused_eval). For the classical path
     pass voxel_static=None and voxel_topo=ct=None at call time.
     """
     from ..models.voxel_grid import voxel_lookup_dense
-    from ..ops.pallas_mlp import fused_coarse_weights, fused_render_tiles
+    from ..ops.pallas_mlp import (
+        fused_coarse_weights, fused_mlp_eval, fused_render_tiles,
+    )
 
-    assert settings.perturb == 0 and settings.noise_std == 0, (
-        "fused render is the deterministic eval path"
-    )
-    assert not settings.rays_in_bbox, (
-        "fused eval derives the fine pdf from SCENE weights; rays_in_bbox "
-        "needs instance-weight pdf semantics (reference rendering.py:228-229)"
-        " — use the unfused render path"
-    )
+    if settings.perturb != 0 or settings.noise_std != 0:
+        raise ValueError(
+            "fused render is the deterministic eval path (perturb=0, "
+            "noise_std=0)"
+        )
+    # instance-weight pdf needs an instance branch; without one the pdf is
+    # scene weights and the plain sigma-only coarse stage already matches
+    bbox_pdf = settings.rays_in_bbox and settings.forward_instance
     mlp = settings.mlp
     kdtype = jnp.dtype(settings.pallas_dtype).type
     lowp = settings.pallas_dtype == "bfloat16"
@@ -354,6 +371,7 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
         return fused_coarse_weights(
             coarse_params, mlp, xyz_c, z_vals, voxel_raw=vox_c,
             dtype=kdtype, interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
 
     @jax.jit
@@ -366,6 +384,32 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
         return z_all, xyz_f, lookup(voxel_topo, ct, xyz_f)
 
     @jax.jit
+    def stage_coarse_kernel_bbox(coarse_params, rays, z_vals, xyz_c, vox_c,
+                                 codes):
+        # rays_in_bbox coarse pass: BOTH branches (the pdf follows the
+        # object, rendering.py:228-229), raw per-sample outputs to the glue
+        dir_pe = freq_encode(rays[:, 3:6], mlp.N_freq_dir)
+        return fused_mlp_eval(
+            coarse_params, mlp, xyz_c, dir_pe, obj_codes=codes,
+            voxel_raw=vox_c, forward_instance=True, dtype=kdtype,
+            interpret=settings.pallas_interpret, mesh=settings.shard_mesh,
+        )
+
+    @jax.jit
+    def stage_glue_bbox(rays, z_vals, outs, voxel_topo, ct):
+        # the exact _composite_pass weight routing on the kernel's raw
+        # outputs: under rays_in_bbox `weights_coarse` IS the instance
+        # compositing's weights
+        sigma, rgb, isig, irgb = outs
+        raw = {"sigma": sigma, "rgb": rgb, "inst_sigma": isig,
+               "inst_rgb": irgb}
+        results: Dict[str, jnp.ndarray] = {}
+        _composite_pass(results, settings, "coarse", raw, z_vals,
+                        {"noise": None, "noise_inst": None}, None)
+        return stage_glue(rays, z_vals, results["weights_coarse"],
+                          voxel_topo, ct)
+
+    @jax.jit
     def stage_render_kernel(mlp_params, rays, z, xyz, vox, codes):
         dir_pe = freq_encode(rays[:, 3:6], mlp.N_freq_dir)
         return fused_render_tiles(
@@ -373,15 +417,23 @@ def make_fused_eval_stages(settings: RenderSettings, voxel_static=None):
             voxel_raw=vox, forward_instance=settings.forward_instance,
             want_weights=False, white_back=settings.white_back,
             dtype=kdtype, interpret=settings.pallas_interpret,
+            mesh=settings.shard_mesh,
         )
 
     def render_chunk(params, rays, codes, voxel_topo=None, ct=None):
         z_vals, xyz_c, vox_c = stage_prep(rays, voxel_topo, ct)
         if settings.N_importance > 0:
-            weights = stage_coarse_kernel(params["coarse"], z_vals, xyz_c,
-                                          vox_c)
-            z_all, xyz_f, vox_f = stage_glue(rays, z_vals, weights,
-                                             voxel_topo, ct)
+            if bbox_pdf:
+                outs = stage_coarse_kernel_bbox(
+                    params["coarse"], rays, z_vals, xyz_c, vox_c, codes
+                )
+                z_all, xyz_f, vox_f = stage_glue_bbox(rays, z_vals, outs,
+                                                      voxel_topo, ct)
+            else:
+                weights = stage_coarse_kernel(params["coarse"], z_vals,
+                                              xyz_c, vox_c)
+                z_all, xyz_f, vox_f = stage_glue(rays, z_vals, weights,
+                                                 voxel_topo, ct)
             out = stage_render_kernel(params["fine"], rays, z_all, xyz_f,
                                       vox_f, codes)
             typ = "fine"

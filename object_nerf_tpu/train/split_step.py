@@ -92,8 +92,13 @@ def make_split_train_step(
     lowp = settings.pallas_dtype == "bfloat16"
     kdtype = jnp.dtype(settings.pallas_dtype).type
 
+    # a >1-device shard_mesh shard_maps both kernel launchers over the ray
+    # axis (P2/P4/P6/P7 in the program list above) with the weight grads
+    # psum'd inside P6/P7 — the DDP all-reduce; the kernel-free glue
+    # programs partition under plain GSPMD
     fwd_kernel, bwd_kernel = make_fused_fwd_bwd(
         mlp, fi, dtype=kdtype, interpret=settings.pallas_interpret,
+        mesh=settings.shard_mesh,
     )
 
     def keys6(key):

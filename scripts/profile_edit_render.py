@@ -68,8 +68,21 @@ def run_variant(name, cfg, voxel, chunks):
 
     cfg = cfg.copy()
     cfg.model.use_voxel_embedding = voxel
+    use_pallas = jax.default_backend() == "tpu"
+    pallas_kw = {}
+    if not use_pallas:
+        # the split variant dispatches pltpu pallas_calls unconditionally —
+        # off-TPU they must run interpreter-mode or the call crashes in
+        # lowering (timings are then NOT meaningful; this keeps the
+        # profiler importable/smoke-runnable on the CPU mesh)
+        pallas_kw = dict(pallas_interpret=True, pallas_dtype="float32")
+        print(
+            "[profile_edit_render] no TPU backend: split-variant kernels "
+            "run in interpreter mode — use timings for smoke only",
+            flush=True,
+        )
     settings = RenderSettings.from_config(
-        cfg, is_eval=True, use_pallas=jax.default_backend() == "tpu",
+        cfg, is_eval=True, use_pallas=use_pallas, **pallas_kw,
     )
     ids = (0, 4)
 

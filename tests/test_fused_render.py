@@ -92,6 +92,34 @@ def test_classical_split_stages_match_xla():
         )
 
 
+def test_split_stages_shard_mesh_matches_single_device():
+    """Sharded split eval (VERDICT r3 #1): with settings.shard_mesh set,
+    the kernel-only stage programs shard_map their ray axis over the
+    8-device mesh and must reproduce the unsharded stages, with outputs
+    ray-sharded across the mesh."""
+    from jax.sharding import Mesh
+    from object_nerf_tpu.render.renderer import make_fused_eval_stages
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    params = _params()
+    rays = _rays()
+    codes = lookup_codes(params["code_library"], jnp.zeros((16,), jnp.int32))
+    settings_i = dataclasses.replace(
+        SETTINGS, use_pallas=True, pallas_interpret=True,
+        pallas_dtype="float32",
+    )
+    ref = make_fused_eval_stages(settings_i)(params, rays, codes)
+    sharded = dataclasses.replace(settings_i, shard_mesh=mesh)
+    got = make_fused_eval_stages(sharded)(params, rays, codes)
+    for key in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-5, atol=1e-6, err_msg=f"sharded-split:{key}",
+        )
+    shapes = {s.data.shape for s in got["rgb_fine"].addressable_shards}
+    assert shapes == {(2, 3)}, shapes  # 16 rays / 8 devices
+
+
 def test_fused_eval_voxel_path():
     import numpy as onp
     from object_nerf_tpu.models import voxel_grid as vg
@@ -221,19 +249,55 @@ def test_bwd_kernel_voxel_scene_only_grad():
     )
 
 
-def test_fused_eval_rejects_rays_in_bbox():
-    """Both fused eval paths derive the fine pdf from SCENE weights and so
-    cannot honor rays_in_bbox's instance-weight pdf semantics (reference
-    rendering.py:228-229) — they must refuse, not silently diverge."""
+def test_single_program_fused_eval_rejects_rays_in_bbox():
+    """The single-program fused eval derives the fine pdf from SCENE
+    weights and cannot honor rays_in_bbox's instance-weight pdf semantics
+    (reference rendering.py:228-229) — it must refuse, not silently
+    diverge. (The split stages DO carry it — next test.)"""
     import pytest
-    from object_nerf_tpu.render.renderer import make_fused_eval_stages
 
     bbox_settings = dataclasses.replace(SETTINGS, rays_in_bbox=True)
-    with pytest.raises(AssertionError, match="rays_in_bbox"):
-        make_fused_eval_stages(bbox_settings)
-    with pytest.raises(AssertionError, match="rays_in_bbox"):
+    with pytest.raises(ValueError, match="rays_in_bbox"):
         render_rays_fused_eval(_params(), _rays(), bbox_settings,
                                interpret=True)
+
+
+def test_split_stages_rays_in_bbox_matches_xla():
+    """VERDICT r3 #6: bbox-bounded eval (toy_desk use_bbox) on the fast
+    split path — the coarse pass runs the full kernel and the glue routes
+    the INSTANCE weights into the fine pdf, matching the monolithic
+    render_rays under rays_in_bbox settings (rendering.py:228-229)."""
+    from object_nerf_tpu.render.renderer import make_fused_eval_stages
+
+    params = _params()
+    rays = _rays()
+    codes = lookup_codes(params["code_library"], jnp.zeros((16,), jnp.int32))
+    bbox = dataclasses.replace(SETTINGS, rays_in_bbox=True)
+    ref = render_rays(
+        params, rays, jax.random.PRNGKey(0), bbox, embedding_instance=codes,
+    )
+    # sanity: under these weights the pdf routing actually changes the fine
+    # samples vs scene-weight routing (otherwise this test proves nothing)
+    ref_scene = render_rays(
+        params, rays, jax.random.PRNGKey(0), SETTINGS,
+        embedding_instance=codes,
+    )
+    assert not np.allclose(
+        np.asarray(ref["rgb_fine"]), np.asarray(ref_scene["rgb_fine"]),
+        atol=1e-6,
+    )
+    stages = make_fused_eval_stages(
+        dataclasses.replace(bbox, use_pallas=True, pallas_interpret=True,
+                            pallas_dtype="float32")
+    )
+    got = stages(params, rays, codes)
+    for key in ("rgb_fine", "depth_fine", "opacity_fine",
+                "rgb_instance_fine", "depth_instance_fine",
+                "opacity_instance_fine"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=1e-3, atol=5e-4, err_msg=f"bbox-split:{key}",
+        )
 
 
 def test_make_render_fn_voxel_beyond_dense_limit_interprets(monkeypatch):

@@ -142,6 +142,31 @@ def test_split_voxel_path():
     _assert_matches(got, ref)
 
 
+def test_split_shard_mesh_matches_single_device():
+    """Multi-chip production path: with settings.shard_mesh set, the
+    kernel-only stage programs shard_map over the 8-device data mesh
+    (GSPMD can't partition tpu_custom_call) and must reproduce the
+    unsharded split render bit-closely, with the per-ray outputs actually
+    sharded over the mesh."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    params = _params()
+    rays = _rays(16)
+    rays2 = _rays(16, seed=3)
+
+    ref_fn = make_multi_eval_stages(SETTINGS_SPLIT, (0, 5))
+    ref = ref_fn(params, jnp.stack([rays, rays2]))
+
+    sharded = dataclasses.replace(SETTINGS_SPLIT, shard_mesh=mesh)
+    got_fn = make_multi_eval_stages(sharded, (0, 5))
+    got = got_fn(params, jnp.stack([rays, rays2]))
+
+    _assert_matches(got, ref, rtol=1e-5, atol=1e-6)
+    shapes = {s.data.shape for s in got["rgb_fine"].addressable_shards}
+    assert shapes == {(2, 3)}, shapes  # 16 rays / 8 devices
+
+
 def test_editable_renderer_routes_split_path():
     """EditableRenderer._render_multi with pallas settings dispatches the
     staged path (incl. corner-table prebuild) and matches the XLA path."""

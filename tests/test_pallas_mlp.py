@@ -104,6 +104,69 @@ def test_scene_only_zeros_instance():
     assert float(jnp.abs(got[2]).max()) == 0.0
 
 
+def test_shard_map_mesh_matches_single_device():
+    """mesh= shard_maps the launch over the ray axis (the multi-chip
+    production path — GSPMD can't partition tpu_custom_call): outputs must
+    equal the unsharded launch, stay ray-sharded across the mesh, and the
+    guard must decline meshes that don't divide the rays."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from object_nerf_tpu.ops.pallas_mlp import shard_over_rays
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    assert shard_over_rays(mesh, 16) and not shard_over_rays(mesh, 12)
+    assert not shard_over_rays(None, 16)
+
+    params = init_object_nerf(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(1)
+    n_rays, s = 16, 8
+    xyz = jnp.asarray(rng.randn(n_rays, s, 3).astype(np.float32) * 0.5)
+    dirs = rng.randn(n_rays, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dir_pe = freq_encode(jnp.asarray(dirs), CFG.N_freq_dir)
+    codes = jnp.asarray(rng.randn(n_rays, 64).astype(np.float32) * 0.1)
+
+    kw = dict(forward_instance=True, dtype=jnp.float32, interpret=True)
+    ref = fused_mlp_eval(params, CFG, xyz, dir_pe, codes, **kw)
+    got = jax.jit(
+        lambda p, x, d, c: fused_mlp_eval(p, CFG, x, d, c, mesh=mesh, **kw)
+    )(params, xyz, dir_pe, codes)
+    for r, g, name in zip(ref, got, ("sigma", "rgb", "isigma", "irgb")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-6, err_msg=name
+        )
+        shapes = {sh.data.shape for sh in g.addressable_shards}
+        assert len(shapes) == 1 and next(iter(shapes))[0] == 2, (name, shapes)
+
+
+def test_ray_tile_semantics():
+    """Tile-size policy: explicit tiles honored in interpret mode (so the
+    kernel tests above really run multi-tile grids), the no-aligned-divisor
+    fallback clamps to r=8 instead of silently compiling an n_rays·S-row
+    tile over the VMEM budget, and unclampable big shapes fail loudly."""
+    from object_nerf_tpu.ops.pallas_mlp import _ray_tile
+
+    # interpret mode honors an exact divisor tile → grid=(2,) in the
+    # classical test above (n_rays=8, rays_per_tile=4)
+    assert _ray_tile(8, 16, 4 * 16, interpret=True, exact=4) == 4
+    assert _ray_tile(4, 8, 2 * 8, interpret=True, exact=2) == 2
+    # normal aligned case: largest 8-multiple divisor under budget
+    assert _ray_tile(7680, 128, 1536) == 8  # 1536//128=12 → align down to 8
+    assert _ray_tile(7680, 64, 2048) == 32
+    # budget smaller than one aligned tile: clamp to r=8, never r=n_rays
+    # (ADVICE r3: s=256 at budget 1536 used to yield one 7680·256-row tile)
+    assert _ray_tile(7680, 256, 1536) == 8
+    # tiny unaligned CPU shapes still fall back to one whole-array tile
+    assert _ray_tile(7, 16, 32, interpret=True) == 7
+    assert _ray_tile(4, 8, 64) == 4
+    # big unaligned shapes on the compiled path refuse instead of blowing
+    # the VMEM budget
+    import pytest
+
+    with pytest.raises(ValueError, match="8-aligned"):
+        _ray_tile(7681, 256, 1536)
+
+
 def test_trans_from_alphas_helper():
     """Unit coverage for the in-kernel Hillis-Steele transmittance scan
     (jnp.cumprod is not lowerable on TPU Pallas), incl. a

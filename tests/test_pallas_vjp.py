@@ -100,6 +100,55 @@ def test_vjp_matches_xla_grads(use_voxel):
         assert _rel_err(got_grads[2], ref_grads[2]) < 5e-4
 
 
+@pytest.mark.parametrize("use_voxel", [False, True])
+def test_vjp_shard_map_mesh_matches_single_device(use_voxel):
+    """The op's mesh= shard_maps fwd AND bwd kernels over the ray axis with
+    the weight grads psum'd inside — the multi-chip training fast path.
+    Gradients must equal the unsharded op's (mod f32 reduction order)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    cfg = ObjectNeRFConfig(
+        D=3, W=32, skips=(1,), inst_D=2, inst_W=16, inst_skips=(1,),
+        use_voxel_embedding=use_voxel, N_obj_code_length=8,
+        N_freq_xyz=4, N_freq_dir=2, N_freq_voxel=2,
+        N_scn_voxel_size=16, N_obj_voxel_size=8,
+    )
+    params = init_object_nerf(jax.random.PRNGKey(0), cfg)
+    n, s = 16, 8  # 2 rays per device shard
+    rng = np.random.RandomState(1)
+    xyz = jnp.asarray(rng.randn(n, s, 3).astype(np.float32) * 0.3)
+    dirs = rng.randn(n, 3).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dir_pe = freq_encode(jnp.asarray(dirs), cfg.N_freq_dir)
+    codes = jnp.asarray(rng.randn(n, 8).astype(np.float32) * 0.2)
+    voxel_raw = (
+        jnp.asarray(rng.randn(n, s, 24).astype(np.float32) * 0.2)
+        if use_voxel else None
+    )
+    lw = _loss_weights(jax.random.PRNGKey(7), n, s)
+    argnums = (0, 1, 2) if use_voxel else (0, 1)
+
+    def loss_fn(op):
+        def loss(params, codes, voxel_raw):
+            outs = op(params, xyz, dir_pe, codes, voxel_raw)
+            return sum(jnp.sum(o * w) for o, w in zip(outs, lw))
+        return loss
+
+    op1 = make_fused_mlp_op(cfg, True, dtype=jnp.float32, interpret=True)
+    op8 = make_fused_mlp_op(cfg, True, dtype=jnp.float32, interpret=True,
+                            mesh=mesh)
+    ref = jax.grad(loss_fn(op1), argnums=argnums)(params, codes, voxel_raw)
+    got = jax.jit(jax.grad(loss_fn(op8), argnums=argnums))(
+        params, codes, voxel_raw
+    )
+
+    for i, (a, b) in enumerate(zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(ref)
+    )):
+        assert _rel_err(a, b) < 5e-5, i
+
+
 def test_vjp_forward_matches():
     cfg = ObjectNeRFConfig(
         D=2, W=32, skips=(1,), inst_D=2, inst_W=16, inst_skips=(1,),
