@@ -350,9 +350,23 @@ def _gather_rows(
     return ftr, invalid
 
 
-# Transient (cells, 8·C) corner-table budget for the dense lookup path. Above
-# this the per-corner gather path is used instead (big subdivided grids).
-DENSE_CELL_TABLE_LIMIT_BYTES = 1 << 30
+# Transient (cells, 8·C) corner-table budget for the dense lookup path.
+# Above this the per-corner gather path is used instead. 2 GiB covers the
+# reference's flagship progressive run POST-subdivision — an ~8×8×3 m
+# ScanNet scene at 0.1 m voxels subdivides to (166,166,66) ⇒ a 1.34 GiB
+# f32 table (reference train.py:140-145 + embedding_helper.py:247-302) —
+# while leaving the ~3× build/gradient transients comfortable in v5e's
+# 16 GB HBM (the table lives only within a step/frame). Callers that lose
+# the fast path log loudly (train/system._build_train_step).
+DENSE_CELL_TABLE_LIMIT_BYTES = 2 << 30
+
+
+def dense_table_bytes(static: "VoxelStatic") -> int:
+    """f32 size of the transient dense corner table for this grid."""
+    n_pcells = (
+        (static.shape[0] + 1) * (static.shape[1] + 1) * (static.shape[2] + 1)
+    )
+    return n_pcells * 8 * static.channels * 4
 
 
 def _trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:
@@ -475,8 +489,7 @@ def voxel_lookup_dense(
 
 
 def _dense_path_ok(static: VoxelStatic) -> bool:
-    n_pcells = (static.shape[0] + 1) * (static.shape[1] + 1) * (static.shape[2] + 1)
-    return n_pcells * 8 * static.channels * 4 <= DENSE_CELL_TABLE_LIMIT_BYTES
+    return dense_table_bytes(static) <= DENSE_CELL_TABLE_LIMIT_BYTES
 
 
 def voxel_lookup_raw(

@@ -136,9 +136,11 @@ def make_render_fn(
     within noise of the fused form.)
     """
 
+    deterministic = settings.perturb == 0 and settings.noise_std == 0
+    # the single-program fused fallback cannot route the rays_in_bbox
+    # instance-weight pdf; the split stages can (and are the fast path)
     use_fused = (
-        settings.use_pallas and not settings.rays_in_bbox
-        and settings.perturb == 0 and settings.noise_std == 0
+        settings.use_pallas and not settings.rays_in_bbox and deterministic
     )
 
     # eval-only: the voxel corner table is a pure function of the (frozen)
@@ -146,6 +148,16 @@ def make_render_fn(
     # program instead of rebuilding (scatter + pad + 8-view concat + bf16
     # cast) inside each of the ~40 chunk jits
     prebuild_ct = None
+    if (voxel_static is not None and settings.use_pallas
+            and not vg._dense_path_ok(voxel_static)):
+        print(
+            f"WARNING: fast split-eval stages UNAVAILABLE — voxel grid "
+            f"{voxel_static.shape} needs a "
+            f"{vg.dense_table_bytes(voxel_static) / (1 << 30):.2f} GiB dense "
+            f"corner table > "
+            f"{vg.DENSE_CELL_TABLE_LIMIT_BYTES / (1 << 30):.0f} GiB limit; "
+            f"rendering through the per-corner-gather program"
+        )
     if voxel_static is not None and vg._dense_path_ok(voxel_static):
         lowp = settings.use_pallas and settings.pallas_dtype == "bfloat16"
 
@@ -159,9 +171,12 @@ def make_render_fn(
     # separate programs (XLA ops sharing a program with a large-VMEM
     # Pallas call run far slower — gathers 2-4×, even the classical pdf
     # glue ~3 ms/chunk; renderer.make_fused_eval_stages). Classical always
-    # splits; voxel additionally needs the prebuilt corner table.
+    # splits; voxel additionally needs the prebuilt corner table. The
+    # stages also carry rays_in_bbox (instance-weight pdf) — only the
+    # single-program fused fallback can't.
     split_chunk = None
-    if use_fused and (voxel_static is None or prebuild_ct is not None):
+    if (settings.use_pallas and deterministic
+            and (voxel_static is None or prebuild_ct is not None)):
         from ..render.renderer import make_fused_eval_stages
 
         split_chunk = make_fused_eval_stages(settings, voxel_static)
@@ -256,6 +271,11 @@ class ObjectNeRFSystem:
         pallas_kw = dict(pallas_interpret=pallas_interpret)
         if pallas_interpret:
             pallas_kw["pallas_dtype"] = "float32"
+        if self.n_devices > 1:
+            # >1-device mesh: Pallas launches shard_map their ray axis over
+            # it (GSPMD can't partition tpu_custom_call); the bwd kernel
+            # psums weight grads — the DDP all-reduce (train.py:261-262)
+            pallas_kw["shard_mesh"] = self.mesh
         def _in_bbox(ds):
             # bbox-bounded training routes instance weights into fine
             # sampling (reference train.py:156-160 → rendering.py:228-229)
@@ -328,11 +348,36 @@ class ObjectNeRFSystem:
 
         config = self.config
         split_cfg = config.get("tpu", {}).get("split_train_step", "auto")
-        use_split = split_step_supported(self.settings, self.voxel_static)
+        supported = split_step_supported(self.settings, self.voxel_static)
+        use_split = supported
         if split_cfg == "auto":
             use_split = use_split and jax.default_backend() == "tpu"
         else:
             use_split = use_split and bool(split_cfg)
+        if self.settings.use_pallas and not supported:
+            # NEVER lose the fast path silently (a mid-run subdivision can
+            # flip this): say exactly why the slower monolithic step runs
+            if self.settings.N_importance <= 0:
+                why = "N_importance=0 (no hierarchical fine pass)"
+            else:
+                gib = vg.dense_table_bytes(self.voxel_static) / (1 << 30)
+                why = (
+                    f"voxel grid {self.voxel_static.shape} needs a "
+                    f"{gib:.2f} GiB dense corner table > "
+                    f"{vg.DENSE_CELL_TABLE_LIMIT_BYTES / (1 << 30):.0f} GiB "
+                    f"limit (models/voxel_grid.DENSE_CELL_TABLE_LIMIT_BYTES)"
+                )
+            print(
+                f"WARNING: split-program train step UNAVAILABLE — {why}; "
+                f"falling back to the monolithic step (slower dispatch "
+                f"pipeline)"
+            )
+        # observability (bench.py reports these so the driver record can
+        # tell code regressions from tunnel dispatch-latency drift): which
+        # step implementation is live and how many XLA programs one step
+        # dispatches (split = 8, monolithic = 1 — split_step.py docstring)
+        self.train_step_kind = "split" if use_split else "monolithic"
+        self.train_programs_per_step = 8 if use_split else 1
         step_maker = make_split_train_step if use_split else make_train_step
         return step_maker(
             self.settings,
@@ -416,18 +461,13 @@ class ObjectNeRFSystem:
             )
         self.key, sub = jax.random.split(self.key)
         # multi-chip: shard each chunk's rays over the data mesh so the
-        # chunk programs run SPMD (params are already replicated). Scoped
-        # to paths GSPMD is known to partition: the XLA pipeline and
-        # interpreter-mode kernels (which lower to ordinary XLA ops).
-        # Real-TPU Pallas programs (tpu_custom_call) carry no partitioning
-        # rule — GSPMD would replicate the kernel work on every chip — so
-        # those stay single-device per chunk until the kernel stages are
-        # shard_map-wrapped. Single chip keeps the device-slice fast path.
+        # chunk programs run SPMD (params are already replicated). The XLA
+        # pipeline partitions under GSPMD; Pallas kernel launches shard_map
+        # themselves over eval_settings.shard_mesh (ops/pallas_mlp.
+        # shard_over_rays), so every path scales over the mesh. Single chip
+        # keeps the device-slice fast path.
         put_chunk = None
-        gspmd_partitions = (not self.eval_settings.use_pallas
-                            or self.eval_settings.pallas_interpret)
-        if (self.n_devices > 1 and chunk % self.n_devices == 0
-                and gspmd_partitions):
+        if self.n_devices > 1 and chunk % self.n_devices == 0:
             # device_put reshards the device-sliced chunk directly
             # (device->devices scatter, no host round-trip)
             put_chunk = lambda x: jax.device_put(x, self.batch_sharding)  # noqa: E731
@@ -535,8 +575,13 @@ class ObjectNeRFSystem:
             self.train_step = self._build_train_step()
             self._render_fns.clear()
 
-    def fit(self, callbacks=None, rng=None):
+    def fit(self, callbacks=None, rng=None, epoch_end_callbacks=None):
         """The Lightning-free training loop.
+
+        `callbacks` fire after each validation: cb(epoch, it, metrics, self).
+        `epoch_end_callbacks` fire once per epoch after its last step:
+        cb(epoch, self) — the train CLI hangs the reference's per-epoch
+        checkpointing (train.py:241-251, save_on_train_epoch_end) here.
 
         Aux hooks (SURVEY §5 parity): `tpu.profile_dir` captures a
         jax.profiler trace of the first post-compile steps;
@@ -602,7 +647,9 @@ class ObjectNeRFSystem:
                     history.append(metrics)
                     for cb in callbacks:
                         cb(epoch, it, metrics, self)
-            dt = time.time() - t0
+            dt = time.time() - t0  # epoch timing excludes ckpt writes
+            for cb in (epoch_end_callbacks or []):
+                cb(epoch, self)
             rays_per_sec = self.steps_per_epoch * batch_size / dt
             m = jax.device_get(metrics)
             print(
