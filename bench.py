@@ -4,10 +4,26 @@ Measures rays/sec/chip rendering a 640×480 image (307,200 rays) through the
 full eval pipeline — 64 coarse + 64 importance samples, scene + instance
 branches (the reference's headline configuration,
 config/default_conf.yml:14-27) — on the default JAX device (TPU under the
-driver).
+driver), plus three secondary metrics (voxel render, train step, voxel
+train step).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "rays/sec/chip", "vs_baseline": N}
+Prints ONE JSON line (ALWAYS, even when the backend fails mid-run):
+  {"metric": ..., "value": N, "unit": "rays/sec/chip", "vs_baseline": N,
+   <secondary metrics that succeeded>, "errors": {<metric>: <why>}?}
+
+Wedge resilience: the axon TPU backend can wedge server-side (dispatch
+works, result fetch raises FailedPrecondition/UNAVAILABLE — CLAUDE.md);
+round 3's record was lost to exactly that. Every metric therefore runs
+under its own try/except with ONE bounded retry, and the JSON line is
+emitted no matter what — missing metrics are null with an "errors" entry,
+never a silent rc=1.
+
+Dispatch observability: train metrics also report ms/step and the number
+of XLA programs dispatched per step (split step = 8). The classical train
+step sits at its kernel floor (~19.6 ms of 20.6), so it alone swings with
+the tunnel's per-program dispatch latency — reporting ms/step + program
+count lets the driver record distinguish code regressions from tunnel
+drift (BASELINE.md "why the train steps are ~81-96k").
 
 Baseline: the reference publishes no numbers (BASELINE.md). The anchor used
 here is an estimated 20,000 rays/s for the PyTorch CUDA reference at this
@@ -33,6 +49,21 @@ ITERS = 5
 TRAIN_BATCH = 2048  # the reference's train batch (default_conf.yml:39)
 TRAIN_WARMUP = 5
 TRAIN_ITERS = 20
+RETRIES = 1  # bounded retries per metric (a wedged backend fails fast)
+
+
+def _attempt(name, fn, errors):
+    """Run one metric with bounded retry; record failure instead of dying."""
+    last = None
+    for attempt in range(1 + RETRIES):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — the whole point is isolation
+            last = f"{type(e).__name__}: {e}"
+            print(f"[bench] {name} attempt {attempt + 1} failed: {last}",
+                  file=sys.stderr)
+    errors[name] = last
+    return None
 
 
 def _bench_train_step(cfg, use_voxel=False):
@@ -40,7 +71,9 @@ def _bench_train_step(cfg, use_voxel=False):
 
     use_voxel benches the sparse-voxel-conditioned path (the paper's
     headline feature) on a deterministic synthetic scene point cloud at
-    the reference's ScanNet voxel size (0.1 m, default_conf.yml:17)."""
+    the reference's ScanNet voxel size (0.1 m, default_conf.yml:17).
+
+    Returns (rays/s, ms/step, programs/step, step kind)."""
     import tempfile
 
     from object_nerf_tpu.data.synthetic import SyntheticDataset
@@ -80,7 +113,9 @@ def _bench_train_step(cfg, use_voxel=False):
         for i in range(TRAIN_ITERS):
             m = system.training_step(batches[i % 8])
         float(jax.device_get(m["train/loss"]))
-        return b / ((time.perf_counter() - t0) / TRAIN_ITERS)
+        dt = (time.perf_counter() - t0) / TRAIN_ITERS
+        return (b / dt, dt * 1e3, system.train_programs_per_step,
+                system.train_step_kind)
 
 
 def _frame_rays(near=0.5, far=4.0, origin=(0.0, 0.0, 0.0)):
@@ -132,7 +167,7 @@ def _bench_voxel_render(cfg):
     embedding is the paper's differentiator, embedding_helper.py:325-409).
 
     The grid is the ScanNet-scale synthetic room (scannet_scale_pcd). Rays
-    are bounded so samples land inside the grid.
+    are bounded so samples land inside the grid. Returns (rays/s, ms/frame).
     """
     from object_nerf_tpu.render.renderer import RenderSettings
     from object_nerf_tpu.train.system import init_params, make_render_fn
@@ -172,15 +207,17 @@ def _bench_voxel_render(cfg):
         return float(np.asarray(out["rgb_fine"][0].sum()))
 
     dt = _time_frames(frame)
-    return W * H / dt
+    return W * H / dt, dt * 1e3
 
 
-def main():
-    from object_nerf_tpu.config import load_config
+def _bench_render(cfg):
+    """Headline metric: classical-PE 640×480 eval render.
+
+    Returns (rays/s, ms/frame)."""
     from object_nerf_tpu.render.renderer import RenderSettings
     from object_nerf_tpu.train.system import init_params, make_render_fn
 
-    cfg = load_config()
+    cfg = cfg.copy()
     cfg.model.use_voxel_embedding = False
     use_pallas = jax.default_backend() == "tpu"
     settings = RenderSettings.from_config(cfg, is_eval=True,
@@ -202,50 +239,80 @@ def main():
         return float(np.asarray(out["rgb_fine"][0].sum()))
 
     dt = _time_frames(frame)
-
     rays_per_sec = n / dt
     print(
         f"[bench] {W}x{H} render: {dt*1e3:.1f} ms/frame, "
         f"{rays_per_sec:,.0f} rays/s on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    return rays_per_sec, dt * 1e3
 
-    # secondary metrics: voxel-conditioned render + training throughput
-    extras = {}
-    try:
-        vrender_rps = _bench_voxel_render(cfg)
-        extras["voxel_render_rays_per_sec"] = round(vrender_rps, 1)
-        print(
-            f"[bench] voxel render {W}x{H} (64+64, ScanNet-scale grid): "
-            f"{vrender_rps:,.0f} rays/s", file=sys.stderr,
-        )
-    except Exception as e:
-        print(f"[bench] voxel render bench skipped: {e}", file=sys.stderr)
-    try:
-        train_rps = _bench_train_step(cfg)
-        extras["train_rays_per_sec"] = round(train_rps, 1)
-        print(f"[bench] train step (b{TRAIN_BATCH}, 64+64): {train_rps:,.0f} rays/s",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] train-step bench skipped: {e}", file=sys.stderr)
-    try:
-        voxel_rps = _bench_train_step(cfg, use_voxel=True)
-        extras["voxel_train_rays_per_sec"] = round(voxel_rps, 1)
-        print(f"[bench] voxel train step (b{TRAIN_BATCH}, 64+64): {voxel_rps:,.0f} "
-              f"rays/s", file=sys.stderr)
-    except Exception as e:
-        print(f"[bench] voxel train-step bench skipped: {e}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "render_rays_per_sec_per_chip_640x480",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/sec/chip",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-                **extras,
-            }
-        )
-    )
+
+def main():
+    errors = {}
+    record = {
+        "metric": "render_rays_per_sec_per_chip_640x480",
+        "value": None,
+        "unit": "rays/sec/chip",
+        "vs_baseline": None,
+    }
+
+    def load():
+        from object_nerf_tpu.config import load_config
+
+        return load_config()
+
+    cfg = _attempt("config", load, errors)
+
+    if cfg is not None:
+        r = _attempt("render", lambda: _bench_render(cfg), errors)
+        if r is not None:
+            rays_per_sec, ms = r
+            record["value"] = round(rays_per_sec, 1)
+            record["vs_baseline"] = round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3)
+            record["render_ms_per_frame"] = round(ms, 2)
+
+        r = _attempt("voxel_render", lambda: _bench_voxel_render(cfg), errors)
+        if r is not None:
+            vrender_rps, ms = r
+            record["voxel_render_rays_per_sec"] = round(vrender_rps, 1)
+            record["voxel_render_ms_per_frame"] = round(ms, 2)
+            print(
+                f"[bench] voxel render {W}x{H} (64+64, ScanNet-scale grid): "
+                f"{vrender_rps:,.0f} rays/s", file=sys.stderr,
+            )
+
+        r = _attempt("train", lambda: _bench_train_step(cfg), errors)
+        if r is not None:
+            train_rps, ms, progs, kind = r
+            record["train_rays_per_sec"] = round(train_rps, 1)
+            record["train_ms_per_step"] = round(ms, 2)
+            record["train_programs_per_step"] = progs
+            record["train_step_kind"] = kind
+            print(
+                f"[bench] train step (b{TRAIN_BATCH}, 64+64, {kind}): "
+                f"{train_rps:,.0f} rays/s, {ms:.1f} ms/step, "
+                f"{progs} programs/step", file=sys.stderr,
+            )
+
+        r = _attempt("voxel_train",
+                     lambda: _bench_train_step(cfg, use_voxel=True), errors)
+        if r is not None:
+            voxel_rps, ms, progs, kind = r
+            record["voxel_train_rays_per_sec"] = round(voxel_rps, 1)
+            record["voxel_train_ms_per_step"] = round(ms, 2)
+            record["voxel_train_programs_per_step"] = progs
+            record["voxel_train_step_kind"] = kind
+            print(
+                f"[bench] voxel train step (b{TRAIN_BATCH}, 64+64, {kind}): "
+                f"{voxel_rps:,.0f} rays/s, {ms:.1f} ms/step, "
+                f"{progs} programs/step", file=sys.stderr,
+            )
+
+    if errors:
+        record["errors"] = errors
+    # the ONE JSON line — emitted unconditionally (driver contract)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

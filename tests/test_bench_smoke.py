@@ -18,7 +18,7 @@ import json
 import pytest
 
 
-def test_bench_main_smoke(monkeypatch, capsys):
+def _shrink(monkeypatch):
     import bench
     from object_nerf_tpu import config as config_mod
 
@@ -42,6 +42,11 @@ def test_bench_main_smoke(monkeypatch, capsys):
     monkeypatch.setattr(bench, "TRAIN_BATCH", 256)
     monkeypatch.setattr(bench, "TRAIN_WARMUP", 1)
     monkeypatch.setattr(bench, "TRAIN_ITERS", 2)
+    return bench
+
+
+def test_bench_main_smoke(monkeypatch, capsys):
+    bench = _shrink(monkeypatch)
 
     bench.main()
 
@@ -54,3 +59,62 @@ def test_bench_main_smoke(monkeypatch, capsys):
               "train_rays_per_sec", "voxel_train_rays_per_sec"):
         assert k in rec, (k, rec)
         assert rec[k] > 0, (k, rec)
+    assert "errors" not in rec, rec
+    # dispatch observability: ms + programs/step accompany the train metrics
+    for k in ("render_ms_per_frame", "train_ms_per_step",
+              "voxel_train_ms_per_step"):
+        assert rec[k] > 0, (k, rec)
+    for k in ("train_programs_per_step", "voxel_train_programs_per_step"):
+        assert rec[k] in (1, 8), (k, rec)
+
+
+def test_bench_survives_backend_failure(monkeypatch, capsys):
+    """Wedge-proofing (round-3 driver record was rc=1/parsed:null): a
+    metric that raises — the axon wedge surfaces as FailedPrecondition at
+    the first result fetch — must not kill the run; the JSON line still
+    prints with the surviving metrics plus an `errors` entry."""
+    bench = _shrink(monkeypatch)
+
+    calls = {"n": 0}
+
+    def wedged(cfg):
+        calls["n"] += 1
+        raise RuntimeError("FAILED_PRECONDITION: TPU backend wedged")
+
+    monkeypatch.setattr(bench, "_bench_voxel_render", wedged)
+
+    bench.main()  # must not raise
+
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    rec = json.loads(out[0])
+    # one bounded retry: the wedged metric ran exactly twice
+    assert calls["n"] == 2
+    assert rec["value"] > 0  # headline metric survived
+    assert "voxel_render_rays_per_sec" not in rec
+    assert "FAILED_PRECONDITION" in rec["errors"]["voxel_render"]
+    # the other secondary metrics still ran after the failure
+    assert rec["train_rays_per_sec"] > 0
+    assert rec["voxel_train_rays_per_sec"] > 0
+
+
+def test_bench_survives_total_failure(monkeypatch, capsys):
+    """Even with EVERY metric failing (backend dead at first touch) the
+    contract line prints: value null, errors populated, exit clean."""
+    bench = _shrink(monkeypatch)
+
+    def dead(*a, **kw):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(bench, "_bench_render", dead)
+    monkeypatch.setattr(bench, "_bench_voxel_render", dead)
+    monkeypatch.setattr(bench, "_bench_train_step", dead)
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, out
+    rec = json.loads(out[0])
+    assert rec["value"] is None and rec["vs_baseline"] is None
+    assert set(rec["errors"]) == {"render", "voxel_render", "train",
+                                  "voxel_train"}
