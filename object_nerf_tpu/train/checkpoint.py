@@ -31,8 +31,13 @@ def save_config_snapshot(log_dir, config) -> None:
 
 
 def save_checkpoint(ckpt_dir, state, voxel_topo=None, voxel_static=None,
-                    step: Optional[int] = None):
-    """Save TrainState (+ voxel topology & shape metadata) with Orbax."""
+                    step: Optional[int] = None, name: Optional[str] = None):
+    """Save TrainState (+ voxel topology & shape metadata) with Orbax.
+
+    `name` overrides the default `step_{step}` directory name — the train
+    CLI uses it for the reference's per-epoch (`epoch_{n}`) and `last`
+    checkpoint files (reference train.py:241-251: every epoch +
+    save_last)."""
     import orbax.checkpoint as ocp
 
     ckpt_dir = Path(ckpt_dir).absolute()
@@ -52,9 +57,10 @@ def save_checkpoint(ckpt_dir, state, voxel_topo=None, voxel_static=None,
             "n_max_voxels": voxel_static.n_max_voxels,
         }
     step = step if step is not None else int(state.step)
+    name = name if name is not None else f"step_{step}"
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(ckpt_dir / f"step_{step}", payload, force=True)
-    return ckpt_dir / f"step_{step}"
+        ckptr.save(ckpt_dir / name, payload, force=True)
+    return ckpt_dir / name
 
 
 def load_checkpoint(path) -> Dict[str, Any]:

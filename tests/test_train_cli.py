@@ -50,7 +50,39 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch, capsys):
 
     ckpt = latest_checkpoint(run)
     assert ckpt is not None
+    # retention parity (reference train.py:241-251: save_top_k=-1 default
+    # keeps EVERY epoch's ckpt, plus save_last): one epoch ⇒ epoch_0 + last
+    assert (run / "epoch_0").is_dir(), list(run.iterdir())
+    assert (run / "last").is_dir()
     # tensorboard event file with the scalar + image logs
     events = list(run.glob("events.out.tfevents.*"))
     assert events, list(run.iterdir())
     assert events[0].stat().st_size > 0
+
+
+def test_train_cli_ckpt_retention(tmp_path, monkeypatch):
+    """save_top_k: -1 (reference default) keeps all epoch ckpts; a positive
+    k prunes to the best-k by monitored val/psnr; `last` always present and
+    restorable (reference ModelCheckpoint semantics, train.py:241-251)."""
+    import train as train_cli
+    from object_nerf_tpu.train.checkpoint import load_checkpoint
+
+    args = [a for a in ARGS if not a.startswith("train.num_epochs")]
+    args += ["train.num_epochs=3"]
+
+    monkeypatch.chdir(tmp_path)
+    train_cli.main(list(args))
+    run = next((tmp_path / "logs").iterdir())
+    epochs = sorted(p.name for p in run.glob("epoch_*"))
+    assert epochs == ["epoch_0", "epoch_1", "epoch_2"], epochs
+    assert (run / "last").is_dir()
+    restored = load_checkpoint(run / "last")
+    assert int(restored["step"]) > 0
+
+    # top-1 retention prunes to a single epoch ckpt
+    (tmp_path / "logs").rename(tmp_path / "logs_keepall")
+    train_cli.main(list(args) + ["train.save_top_k=1"])
+    run = next((tmp_path / "logs").iterdir())
+    epochs = [p.name for p in run.glob("epoch_*")]
+    assert len(epochs) == 1, epochs
+    assert (run / "last").is_dir()

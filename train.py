@@ -86,23 +86,47 @@ def main(argv):
             except Exception as e:
                 print(f"  [val] image panel skipped: {e}")
         vp = metrics.get("val/psnr", -np.inf)
-        # checkpoint on improvement and at the last validation of each epoch
-        # (the reference keeps every epoch + best, train.py:241-251)
-        val_every = float(sys_.config.train.get("val_check_interval", 0.25))
-        val_interval = max(1, int(sys_.steps_per_epoch * val_every))
-        last_val_it = (sys_.steps_per_epoch // val_interval) * val_interval - 1
-        if vp > best_psnr or it >= last_val_it:
+        # mid-epoch checkpoint on improvement (finer-grained than the
+        # reference's per-epoch files — resume granularity at the 0.25-epoch
+        # validation cadence)
+        if vp > best_psnr:
+            best_psnr = vp
             save_checkpoint(
                 log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
                 step=step,
             )
-        if vp > best_psnr:
-            best_psnr = vp
         print(
             f"  [val] epoch {epoch} it {it}: psnr {vp:.2f} (best {best_psnr:.2f})"
         )
 
-    system.fit(callbacks=[on_val])
+    # retention parity with the reference's ModelCheckpoint
+    # (train.py:241-251): one ckpt per epoch, save_top_k=-1 keeps them ALL,
+    # monitor val/psnr max when a positive k prunes, plus a `last` ckpt
+    save_top_k = int(config.train.get("save_top_k", -1))
+    epoch_ckpts = []  # [(psnr_at_save, path)]
+
+    def on_epoch_end(epoch, sys_):
+        step = int(sys_.state.step)
+        save_checkpoint(
+            log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
+            step=step, name="last",
+        )
+        if save_top_k == 0:
+            return
+        path = save_checkpoint(
+            log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
+            step=step, name=f"epoch_{epoch}",
+        )
+        epoch_ckpts.append((best_psnr, path))
+        if save_top_k > 0 and len(epoch_ckpts) > save_top_k:
+            import shutil
+
+            epoch_ckpts.sort(key=lambda t: t[0], reverse=True)
+            for _, stale in epoch_ckpts[save_top_k:]:
+                shutil.rmtree(stale, ignore_errors=True)
+            del epoch_ckpts[save_top_k:]
+
+    system.fit(callbacks=[on_val], epoch_end_callbacks=[on_epoch_end])
     save_checkpoint(
         log_path, system.state, system.voxel_topo, system.voxel_static,
         step=int(system.state.step),
