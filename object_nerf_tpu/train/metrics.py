@@ -36,16 +36,13 @@ def _gaussian_kernel2d(window: int, sigma: float = 1.5) -> jnp.ndarray:
     return jnp.outer(g, g)
 
 
-def ssim(
+def ssim_map(
     pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3, max_val: float = 1.0
 ) -> jnp.ndarray:
-    """SSIM over (H, W, 3) images in [0,1]; returns the mean index in [-1,1].
-
-    Bit-faithful to the reference metric (utils/metrics.py:18-23): kornia
-    0.4.1 SSIM — gaussian window sigma 1.5, zero-padded same conv computed
-    per channel, C=(0.01·max)², (0.03·max)², `clamp((1-s)/2, 0, 1)` DSSIM —
-    then the reference's `1 - 2·dssim` back to an index.
-    """
+    """Per-pixel SSIM index map (H, W, 3) — kornia 0.4.1 math: gaussian
+    window sigma 1.5, zero-padded same conv per channel, C=(0.01·max)²,
+    (0.03·max)². Exposed so tests can validate the interior against an
+    independent valid-window implementation (tf.image.ssim)."""
     c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
     pad = (window - 1) // 2
     k = _gaussian_kernel2d(window).astype(pred.dtype)[..., None, None]
@@ -62,8 +59,20 @@ def ssim(
     var_p = blur(pred * pred) - mu_p**2
     var_g = blur(gt * gt) - mu_g**2
     cov = blur(pred * gt) - mu_p * mu_g
-    s = ((2 * mu_p * mu_g + c1) * (2 * cov + c2)) / (
+    return ((2 * mu_p * mu_g + c1) * (2 * cov + c2)) / (
         (mu_p**2 + mu_g**2 + c1) * (var_p + var_g + c2)
     )
+
+
+def ssim(
+    pred: jnp.ndarray, gt: jnp.ndarray, window: int = 3, max_val: float = 1.0
+) -> jnp.ndarray:
+    """SSIM over (H, W, 3) images in [0,1]; returns the mean index in [-1,1].
+
+    Bit-faithful to the reference metric (utils/metrics.py:18-23): kornia
+    0.4.1 SSIM (`ssim_map` above) then `clamp((1-s)/2, 0, 1)` DSSIM and
+    the reference's `1 - 2·dssim` back to an index.
+    """
+    s = ssim_map(pred, gt, window=window, max_val=max_val)
     dssim = jnp.clip((1.0 - s) / 2.0, 0.0, 1.0)
     return 1.0 - 2.0 * jnp.mean(dssim)
