@@ -39,6 +39,34 @@ def _default_spheres():
     ]
 
 
+def _detail_spheres(seed: int = 7, n_small: int = 36):
+    """The default scene plus a lawn of SMALL spheres (r ≈ 0.04-0.07) with
+    striped colors — geometric + appearance detail finer than a 0.3-unit
+    (and mostly finer than a 0.15-unit) voxel, for progressive-training
+    A/Bs that need sub-voxel structure to resolve
+    (scripts/progressive_ab.py --detail)."""
+    rng = np.random.RandomState(seed)
+    spheres = _default_spheres()
+    grid = int(np.ceil(np.sqrt(n_small)))
+    k = 0
+    for gy in range(grid):
+        for gx in range(grid):
+            if k >= n_small:
+                break
+            r = 0.04 + 0.03 * rng.rand()
+            cx = -0.9 + 1.8 * (gx + 0.5) / grid + 0.05 * rng.randn()
+            cy = -0.9 + 1.8 * (gy + 0.5) / grid + 0.05 * rng.randn()
+            # skip the big spheres' footprints
+            if min(np.hypot(cx - s.center[0], cy - s.center[1])
+                   for s in spheres[:3]) < 0.3:
+                continue
+            color = np.array([0.25 + 0.7 * rng.rand() for _ in range(3)])
+            # instance id 0: detail spheres belong to the background scene
+            spheres.append(Sphere(np.array([cx, cy, r]), r, color, 0))
+            k += 1
+    return spheres
+
+
 def _ray_sphere(o, d, c, r):
     """Nearest positive hit t or +inf. o,d: (N,3)."""
     oc = o - c
@@ -61,12 +89,13 @@ def _shade(points, normals, base_color):
     return np.clip(base_color * (0.35 + 0.65 * lam), 0.0, 1.0)
 
 
-def _checker(points):
-    c = ((np.floor(points[:, 0] * 4) + np.floor(points[:, 1] * 4)) % 2)[:, None]
+def _checker(points, scale: float = 4.0):
+    c = ((np.floor(points[:, 0] * scale) + np.floor(points[:, 1] * scale))
+         % 2)[:, None]
     return 0.35 + 0.3 * c * np.ones((len(points), 3))
 
 
-def trace(rays_o, rays_d, spheres):
+def trace(rays_o, rays_d, spheres, checker_scale: float = 4.0):
     """Returns (rgb (N,3), depth (N,), inst_id (N,) int)."""
     n = len(rays_o)
     best_t = _ray_plane_z(rays_o, rays_d, 0.0)
@@ -75,7 +104,7 @@ def trace(rays_o, rays_d, spheres):
     inst = np.zeros((n,), np.int64)
     t_safe = np.where(np.isfinite(best_t), best_t, 0.0)
     p = rays_o + t_safe[:, None] * rays_d
-    rgb[hit_plane] = _checker(p[hit_plane])
+    rgb[hit_plane] = _checker(p[hit_plane], checker_scale)
     # background: gradient sky
     sky = ~hit_plane
     rgb[sky] = np.stack(

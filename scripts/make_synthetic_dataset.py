@@ -20,9 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_dataset(out_dir, img_wh=(96, 72), n_frames=24):
+def make_dataset(out_dir, img_wh=(96, 72), n_frames=24, detail=False):
+    """detail=True writes the FINE variant: a lawn of small (r 0.04-0.07)
+    spheres plus a 12-cells/unit floor checker — sub-voxel structure for
+    the progressive-training A/B (scripts/progressive_ab.py --detail)."""
     import cv2
-    from object_nerf_tpu.data.synthetic import _default_spheres, trace, look_at
+    from object_nerf_tpu.data.synthetic import (
+        _default_spheres, _detail_spheres, trace, look_at,
+    )
     from object_nerf_tpu.data.ray_utils import get_ray_directions, get_rays
     from object_nerf_tpu.data.ply_io import write_ply
 
@@ -33,7 +38,8 @@ def make_dataset(out_dir, img_wh=(96, 72), n_frames=24):
     fov_x = 2 * np.arctan(w / 2 / focal)
     directions = get_ray_directions(h, w, focal)
     dirs_norm = np.linalg.norm(directions.reshape(-1, 3), axis=-1)
-    spheres = _default_spheres()
+    spheres = _detail_spheres() if detail else _default_spheres()
+    checker_scale = 12.0 if detail else 4.0
     fix_rot = np.array([1, 0, 0, 0, -1, 0, 0, 0, -1]).reshape(3, 3)
 
     frames = []
@@ -44,7 +50,7 @@ def make_dataset(out_dir, img_wh=(96, 72), n_frames=24):
                         1.1 + 0.2 * np.cos(2 * ang)])
         c2w = look_at(eye, np.array([0.0, 0.0, 0.2]))
         rays_o, rays_d = get_rays(directions, c2w)
-        rgb, depth, inst = trace(rays_o, rays_d, spheres)
+        rgb, depth, inst = trace(rays_o, rays_d, spheres, checker_scale)
         depth = np.where(depth > 5.0, 0.0, depth)
         cv2.imwrite(os.path.join(out, "full", f"{i}.png"),
                     (rgb.reshape(h, w, 3)[..., ::-1] * 255).astype(np.uint8))
@@ -70,6 +76,8 @@ def make_dataset(out_dir, img_wh=(96, 72), n_frames=24):
         d = rng.randn(600, 3)
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         pts.append(s.center + s.radius * d)
+    # bboxes/masks only exist for the labeled objects (instance_id > 0)
+    spheres = [s for s in spheres if s.instance_id > 0]
     write_ply(os.path.join(out, "pcd.ply"), np.concatenate(pts))
 
     # ToyDesk-style oriented bboxes for each sphere object
@@ -103,6 +111,7 @@ def main(argv):
         cfg.get("out", "data/synthetic_desk"),
         img_wh=tuple(cfg.get("img_wh", [96, 72])),
         n_frames=int(cfg.get("n_frames", 24)),
+        detail=bool(cfg.get("detail", False)),
     )
 
 

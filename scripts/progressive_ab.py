@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 
-def run_arm(progressive: bool, epochs: int, voxel_size: float):
+def run_arm(progressive: bool, epochs: int, voxel_size: float,
+            root_dir=None, img_wh=None):
     from object_nerf_tpu.config import load_config
     from object_nerf_tpu.data import dataset_dict
     from object_nerf_tpu.train.system import ObjectNeRFSystem
@@ -35,6 +36,13 @@ def run_arm(progressive: bool, epochs: int, voxel_size: float):
     cfg.train.merge(dict(
         num_epochs=epochs, progressive_train=progressive, seed=42,
     ))
+    if root_dir is not None:
+        cfg.dataset_extra.merge(dict(
+            root_dir=root_dir, pcd_path=f"{root_dir}/pcd.ply",
+            bbox_dir=f"{root_dir}/bbox.json", split=f"{root_dir}/split",
+        ))
+    if img_wh is not None:
+        cfg.img_wh = list(img_wh)
     # a COARSE start is where subdivision has something to offer: the
     # fixed arm stays at voxel_size for the whole run, the progressive
     # arm halves it at epoch 5 (the reference's schedule). Starting both
@@ -71,9 +79,20 @@ def main():
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--voxel-size", type=float, default=0.3)
     ap.add_argument("--out", default="debug/progressive_ab.json")
+    ap.add_argument("--detail", action="store_true",
+                    help="use the FINE-detail scene (lawn of r=0.04-0.07 "
+                         "spheres + 12/unit checker at 160x120) — sub-voxel "
+                         "structure that a coarse grid cannot represent")
     args = ap.parse_args()
 
-    if not os.path.isdir("data/synthetic_desk"):
+    root_dir = img_wh = None
+    if args.detail:
+        root_dir, img_wh = "data/synthetic_desk_detail", (160, 120)
+        if not os.path.isdir(root_dir):
+            from scripts.make_synthetic_dataset import make_dataset
+
+            make_dataset(root_dir, img_wh=img_wh, detail=True)
+    elif not os.path.isdir("data/synthetic_desk"):
         from scripts.make_synthetic_dataset import make_dataset
 
         make_dataset("data/synthetic_desk")
@@ -82,7 +101,8 @@ def main():
     for progressive in (True, False):
         arm = "progressive" if progressive else "fixed"
         print(f"=== arm: {arm} ({args.epochs} epochs) ===", flush=True)
-        results[arm] = run_arm(progressive, args.epochs, args.voxel_size)
+        results[arm] = run_arm(progressive, args.epochs, args.voxel_size,
+                               root_dir=root_dir, img_wh=img_wh)
         last = results[arm][-1]
         print(f"{arm}: final val/psnr {last['val_psnr']:.2f} "
               f"(voxel_size {last['voxel_size']})", flush=True)
@@ -100,7 +120,7 @@ def main():
         summary["progressive"]["final_psnr_mean_last4"]
         - summary["fixed"]["final_psnr_mean_last4"])
     out = {"epochs": args.epochs, "voxel_size": args.voxel_size,
-           "curves": results, "summary": summary}
+           "detail": args.detail, "curves": results, "summary": summary}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
