@@ -38,6 +38,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -380,12 +381,18 @@ def _trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _cell_corner_table(features, topo, static):
+def _corner_table_impl(features, idx_map, static):
     """((X+1)·(Y+1)·(Z+1), 8·C) — each row holds the features of a base
-    cell's 8 corners, built gather-free:
+    cell's 8 corners:
 
-    1. one scatter of the (capacity, C) table into a zero dense grid
-       (dead rows land on a trash row),
+    1. GATHER the dense cell grid from the table (`features[idx_map]`,
+       empty cells zeroed). A gather of n_cells rows, NOT a scatter of
+       capacity rows: TPU scatter latency/row degrades superlinearly with
+       destination size (measured ~190 ns/row at an 800k-row capacity vs
+       ~10 ns at 262k — scripts/profile_big_table_ops.py), so the scatter
+       form cost 141-160 ms per build on the post-subdivision flagship
+       grid; the gather form is ~4× cheaper there and neutral on small
+       grids,
     2. zero-pad the grid by 1 cell on every side (out-of-bounds corners
        therefore contribute exactly 0, the reference's invalid-corner rule,
        embedding_helper.py:346-351),
@@ -396,16 +403,68 @@ def _cell_corner_table(features, topo, static):
     """
     X, Y, Z = static.shape
     C = static.channels
-    n_cells = X * Y * Z
-    dense = jnp.zeros((n_cells + 1, C), features.dtype)
-    dense = dense.at[topo.row_to_cell].set(features, mode="drop")
-    p = jnp.pad(dense[:-1].reshape(X, Y, Z, C),
+    dense = jnp.where(
+        (idx_map >= 0)[:, None],
+        jnp.take(features, jnp.maximum(idx_map, 0), axis=0),
+        jnp.zeros((), features.dtype),
+    )
+    p = jnp.pad(dense.reshape(X, Y, Z, C),
                 ((1, 1), (1, 1), (1, 1), (0, 0)))
     parts = [
         p[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1]
         for dx, dy, dz in _CORNERS  # binary order matches the weights
     ]
     return jnp.concatenate(parts, axis=-1).reshape(-1, 8 * C)
+
+
+def corner_table_transpose(d_ct, row_to_cell, static):
+    """d_features from a corner-table cotangent — the exact linear
+    transpose of `_corner_table_impl`, hand-written because it is
+    value-independent: autodiff's vjp re-runs the full forward build for
+    residuals it never uses (~160 ms per step on the post-subdivision
+    flagship grid), while this is 8 static slice-adds plus ONE
+    capacity-row gather. Exactness relies on idx_map/row_to_cell being
+    mutually inverse (each live table row owns exactly one cell — true by
+    construction; pruning trash-routes both sides), which makes the
+    gather-by-row_to_cell identical to segment-summing over idx_map.
+    """
+    X, Y, Z = static.shape
+    C = static.channels
+    d = d_ct.reshape(X + 1, Y + 1, Z + 1, 8, C)
+    acc = jnp.zeros((X + 2, Y + 2, Z + 2, C), d_ct.dtype)
+    for k, (dx, dy, dz) in enumerate(_CORNERS):
+        acc = acc.at[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1].add(
+            d[..., k, :]
+        )
+    d_dense = acc[1 : X + 1, 1 : Y + 1, 1 : Z + 1].reshape(-1, C)
+    # trash row (pruned/dead table rows point one past the grid) reads 0
+    d_dense = jnp.concatenate([d_dense, jnp.zeros((1, C), d_dense.dtype)])
+    return jnp.take(d_dense, row_to_cell, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _corner_table_op(features, idx_map, row_to_cell, static):
+    return _corner_table_impl(features, idx_map, static)
+
+
+def _corner_table_op_fwd(features, idx_map, row_to_cell, static):
+    return _corner_table_impl(features, idx_map, static), row_to_cell
+
+
+def _corner_table_op_bwd(static, row_to_cell, d_ct):
+    d_f = corner_table_transpose(d_ct, row_to_cell, static)
+    # idx_map / row_to_cell are integer topology — no cotangent
+    zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (d_f, zero(row_to_cell), zero(row_to_cell))
+
+
+_corner_table_op.defvjp(_corner_table_op_fwd, _corner_table_op_bwd)
+
+
+def _cell_corner_table(features, topo, static):
+    """See `_corner_table_impl`; differentiable w.r.t. `features` via the
+    hand-written `corner_table_transpose` (no forward re-run, no scatter)."""
+    return _corner_table_op(features, topo.idx_map, topo.row_to_cell, static)
 
 
 def make_corner_table(features, topo, static: VoxelStatic, lowp: bool = False):

@@ -225,10 +225,11 @@ def make_split_train_step(
         the zeroed weights), ONE corner-row segment-sum over the
         concatenated coarse+fine samples (≡ _take_rows_bf16's VJP — f32
         accumulation, the bf16 forward cast is identity to the gradient),
-        then the transpose of the corner-table build (via jax.vjp — the
-        build re-runs for residuals, exactly what the monolithic program's
-        autodiff does; jax.linear_transpose can't transpose the build's
-        non-unique-indices scatter)."""
+        then `vg.corner_table_transpose` — the hand-written linear
+        transpose of the corner-table build. (jax.vjp(build) was measured
+        re-running the full forward build for unused residuals — ~160 ms
+        per step on a post-subdivision flagship grid; the hand transpose
+        is value-independent: 8 slice-adds + one capacity-row gather.)"""
         c = voxel_static.channels
 
         def rows(d_vox, wts):
@@ -244,12 +245,9 @@ def make_split_train_step(
             * (voxel_static.shape[2] + 1)
         )
         d_ct = jax.ops.segment_sum(d_rows, flat, num_segments=n_pcells)
-
-        def build(f):
-            return vg._cell_corner_table(f, voxel_topo, voxel_static)
-
-        _, build_vjp = jax.vjp(build, voxel_features)
-        return build_vjp(d_ct)[0]
+        return vg.corner_table_transpose(
+            d_ct, voxel_topo.row_to_cell, voxel_static
+        )
 
     update_kw = dict(donate_argnums=(0,)) if donate else {}
 

@@ -180,3 +180,48 @@ def test_prebuilt_ct_rejected_for_nearest_lookup():
     with pytest.raises(ValueError, match="trilinear"):
         vg.voxel_lookup_raw(features, topo, static, pts, trilinear=False,
                             ct=ct)
+
+
+def test_corner_table_transpose_matches_autodiff():
+    """The hand-written `corner_table_transpose` (8 slice-adds + one
+    capacity-row gather — no forward re-run, no scatter) must equal
+    autodiff's vjp of the corner-table build exactly, including after a
+    prune trash-routes rows on BOTH the idx_map and row_to_cell sides."""
+    features, topo, static = _build(channels=8)
+
+    def build(f, t):
+        return vg._corner_table_impl(f, t.idx_map, static)
+
+    rng = np.random.RandomState(3)
+    n_pcells = (static.shape[0] + 1) * (static.shape[1] + 1) * (static.shape[2] + 1)
+    d_ct = jnp.asarray(
+        rng.randn(n_pcells, 8 * static.channels).astype(np.float32)
+    )
+
+    for tag, t in (("fresh", topo), ("pruned", _pruned(features, topo, static))):
+        ref = jax.vjp(lambda f: build(f, t), features)[1](d_ct)[0]
+        got = vg.corner_table_transpose(d_ct, t.row_to_cell, static)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6, err_msg=tag)
+        # and the custom-vjp'd public build routes through the same math
+        ref2 = jax.vjp(
+            lambda f: vg._cell_corner_table(f, t, static), features
+        )[1](d_ct)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref2),
+                                   rtol=1e-6, atol=1e-6, err_msg=tag)
+
+
+def _pruned(features, topo, static):
+    # drop every other occupied voxel the way prune does (trash-route both
+    # the idx_map and the row_to_cell inverse)
+    idx_map = np.asarray(topo.idx_map).copy()
+    rtc = np.asarray(topo.row_to_cell).copy()
+    occ = np.asarray(topo.occupancy).copy()
+    cells = np.flatnonzero(idx_map >= 0)[::2]
+    rtc[idx_map[cells]] = int(np.prod(static.shape))
+    idx_map[cells] = -1
+    occ[cells] = False
+    return topo._replace(
+        idx_map=jnp.asarray(idx_map), occupancy=jnp.asarray(occ),
+        n_occupied=jnp.int32(int(occ.sum())), row_to_cell=jnp.asarray(rtc),
+    )
