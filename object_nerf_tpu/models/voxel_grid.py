@@ -381,6 +381,41 @@ def _trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _corner_conv_kernels(channels: int):
+    """One-hot VALID-2×2×2 conv kernels realizing the corner-table build
+    and its transpose on the MXU (host numpy; cached per channel count).
+
+    Forward: ct[p, (k,c)] = padded_dense[p + corner_k, c]
+        ⇒ K_f[t, c_in, k·C + c_out] = δ(t = corner_k) δ(c_in = c_out)
+    Transpose: d_dense[c] = Σ_k d_ct[c + (1 − corner_k), block k]
+        ⇒ K_t[t, k·C + c_in, c_out] = δ(t = 1 − corner_k) δ(c_in = c_out)
+    """
+    C = channels
+    k_f = np.zeros((2, 2, 2, C, 8 * C), np.float32)
+    k_t = np.zeros((2, 2, 2, 8 * C, C), np.float32)
+    for k, (bx, by, bz) in enumerate(_CORNERS):
+        for c in range(C):
+            k_f[bx, by, bz, c, k * C + c] = 1.0
+            k_t[1 - bx, 1 - by, 1 - bz, k * C + c, c] = 1.0
+    return k_f, k_t
+
+
+def _corner_conv(x, kernel, dtype):
+    """VALID 2×2×2 conv with a one-hot kernel. Precision policy: HIGHEST
+    for f32 (TPU's default conv path rounds inputs to bf16 — 2.2e-3 rel
+    error on the table GRADIENT, unacceptable; HIGHEST is bit-exact here,
+    rel err ≤1.2e-7 vs the slice-add form) and DEFAULT for bf16 (every
+    output sums exactly one nonzero product, so bf16 copies are exact)."""
+    prec = (jax.lax.Precision.DEFAULT if jnp.dtype(dtype) == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    return jax.lax.conv_general_dilated(
+        x[None], kernel.astype(dtype), (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=prec, preferred_element_type=dtype,
+    )[0]
+
+
 def _corner_table_impl(features, idx_map, static):
     """((X+1)·(Y+1)·(Z+1), 8·C) — each row holds the features of a base
     cell's 8 corners:
@@ -391,12 +426,15 @@ def _corner_table_impl(features, idx_map, static):
        destination size (measured ~190 ns/row at an 800k-row capacity vs
        ~10 ns at 262k — scripts/profile_big_table_ops.py), so the scatter
        form cost 141-160 ms per build on the post-subdivision flagship
-       grid; the gather form is ~4× cheaper there and neutral on small
-       grids,
+       grid,
     2. zero-pad the grid by 1 cell on every side (out-of-bounds corners
        therefore contribute exactly 0, the reference's invalid-corner rule,
        embedding_helper.py:346-351),
-    3. concatenate the 8 shifted views.
+    3. replicate the 8 shifted views via a one-hot VALID 2×2×2 conv — the
+       MXU runs it at full 192-lane width, vs ~19% lane occupancy for the
+       C=24 shifted-concat form (measured 78→60 ms f32 / 60→32 ms bf16 on
+       the post-subdivision grid; bit-exact, each output copies exactly
+       one input).
 
     Base cells are indexed in the PADDED frame: pb = floor(xyz_scaled) + 1,
     valid for floor coords in [-1, shape-1].
@@ -410,11 +448,9 @@ def _corner_table_impl(features, idx_map, static):
     )
     p = jnp.pad(dense.reshape(X, Y, Z, C),
                 ((1, 1), (1, 1), (1, 1), (0, 0)))
-    parts = [
-        p[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1]
-        for dx, dy, dz in _CORNERS  # binary order matches the weights
-    ]
-    return jnp.concatenate(parts, axis=-1).reshape(-1, 8 * C)
+    k_f, _ = _corner_conv_kernels(C)
+    ct = _corner_conv(p, jnp.asarray(k_f), features.dtype)
+    return ct.reshape(-1, 8 * C)
 
 
 def corner_table_transpose(d_ct, row_to_cell, static):
@@ -422,21 +458,17 @@ def corner_table_transpose(d_ct, row_to_cell, static):
     transpose of `_corner_table_impl`, hand-written because it is
     value-independent: autodiff's vjp re-runs the full forward build for
     residuals it never uses (~160 ms per step on the post-subdivision
-    flagship grid), while this is 8 static slice-adds plus ONE
-    capacity-row gather. Exactness relies on idx_map/row_to_cell being
-    mutually inverse (each live table row owns exactly one cell — true by
-    construction; pruning trash-routes both sides), which makes the
-    gather-by-row_to_cell identical to segment-summing over idx_map.
-    """
+    flagship grid). One one-hot conv (the corner accumulation, f32 HIGHEST
+    — exact) plus ONE capacity-row gather. Exactness of the gather relies
+    on idx_map/row_to_cell being mutually inverse (each live table row
+    owns exactly one cell — true by construction; pruning trash-routes
+    both sides), which makes gather-by-row_to_cell identical to
+    segment-summing over idx_map."""
     X, Y, Z = static.shape
     C = static.channels
-    d = d_ct.reshape(X + 1, Y + 1, Z + 1, 8, C)
-    acc = jnp.zeros((X + 2, Y + 2, Z + 2, C), d_ct.dtype)
-    for k, (dx, dy, dz) in enumerate(_CORNERS):
-        acc = acc.at[dx : dx + X + 1, dy : dy + Y + 1, dz : dz + Z + 1].add(
-            d[..., k, :]
-        )
-    d_dense = acc[1 : X + 1, 1 : Y + 1, 1 : Z + 1].reshape(-1, C)
+    _, k_t = _corner_conv_kernels(C)
+    d = d_ct.reshape(X + 1, Y + 1, Z + 1, 8 * C).astype(jnp.float32)
+    d_dense = _corner_conv(d, jnp.asarray(k_t), jnp.float32).reshape(-1, C)
     # trash row (pruned/dead table rows point one past the grid) reads 0
     d_dense = jnp.concatenate([d_dense, jnp.zeros((1, C), d_dense.dtype)])
     return jnp.take(d_dense, row_to_cell, axis=0)
@@ -477,9 +509,14 @@ def make_corner_table(features, topo, static: VoxelStatic, lowp: bool = False):
     programs is pure waste. The prebuilt table carries no feature gradient
     — autodiff training paths must build it in-graph (voxel_lookup_dense
     with ct=None); the split-program train step may call this per step
-    because it derives the table gradient by hand (split_step.py P8)."""
-    ct = _cell_corner_table(features, topo, static)
-    return ct.astype(jnp.bfloat16) if lowp else ct
+    because it derives the table gradient by hand (split_step.py P8).
+
+    lowp casts the FEATURES to bf16 before the build (the build is a pure
+    copy, so cast-then-build ≡ build-then-cast exactly) — the bf16 conv
+    build runs ~2× the f32 one on big grids."""
+    if lowp:
+        features = features.astype(jnp.bfloat16)
+    return _cell_corner_table(features, topo, static)
 
 
 def corner_index_weights(topo: VoxelTopology, static: VoxelStatic, xyz):

@@ -100,18 +100,23 @@ def main():
     print(f"build_vjp : {timeit(lambda: build_vjp_fn(feats, d_ct)):8.2f} ms",
           flush=True)
 
-    from object_nerf_tpu.train import split_step as ss  # noqa: F401
+    transpose = jax.jit(
+        lambda d: vg.corner_table_transpose(d, topo.row_to_cell, static)
+    )
+    print(f"transpose : {timeit(lambda: transpose(d_ct)):8.2f} ms",
+          flush=True)
 
     @jax.jit
-    def table_grad_whole(f, d_flat, wts, flat):
+    def table_grad_whole(d_flat, wts, flat):
+        # the shipped P8 chain (split_step.table_grad): segsum + the
+        # hand-written transpose, NO forward build
         drows = (d_flat[:, None, :] * wts[:, :, None]).reshape(-1, 192)
         d_ct = jax.ops.segment_sum(drows, flat, num_segments=n_pcells)
-        _, bv = jax.vjp(build, f)
-        return bv(d_ct)[0]
+        return vg.corner_table_transpose(d_ct, topo.row_to_cell, static)
 
     print(
         f"table_grad: "
-        f"{timeit(lambda: table_grad_whole(feats, d_flat, wts, flat)):8.2f}"
+        f"{timeit(lambda: table_grad_whole(d_flat, wts, flat)):8.2f}"
         f" ms", flush=True,
     )
 
