@@ -670,6 +670,60 @@ def check_occupancy(topo: VoxelTopology, static: VoxelStatic, xyz: jnp.ndarray):
     return jnp.where(oob, False, occ)
 
 
+def voxel_lookup_grid_sample(
+    features: jnp.ndarray,
+    static: VoxelStatic,
+    xyz: jnp.ndarray,
+    bounds: jnp.ndarray,
+):
+    """Dense grid_sample-style trilinear lookup — the reference's unused
+    `forward_voxel_features_dense` variant (embedding_helper.py:429-479).
+
+    The first X*Y*Z table rows are read as a dense (X, Y, Z, C) grid (the
+    variant predates the sparse idx_map and requires capacity >= X*Y*Z);
+    points normalize to [0, 1] over `bounds` ((2, 3): lo/hi) and sample
+    with torch `grid_sample(align_corners=True, padding_mode="border")`
+    semantics: coord = u * (size - 1), clamped to the border.
+
+    Two reference quirks reproduced on purpose (verified against torch's
+    F.grid_sample in tests/test_voxel_grid.py):
+    * axis order — its `rearrange("(n1 n2 n3) c -> 1 c n1 n2 n3")` keeps
+      spatial order (X, Y, Z) while grid_sample's x grid coordinate
+      addresses the INNERMOST axis, so point coordinate k samples grid
+      axis 2-k (x runs along Z and vice versa);
+    * occupancy is computed but dead (`ind_occu = ind_full`,
+      embedding_helper.py:441-443) — no sample is zeroed here either.
+
+    Returns raw (M, C) features; callers frequency-encode like the
+    reference's `embedding_final` (models/embedding.freq_encode).
+    """
+    X, Y, Z = static.shape
+    sizes = jnp.asarray([X, Y, Z], jnp.float32)
+    lo, hi = bounds[0], bounds[1]
+    u = (xyz - lo) / (hi - lo)
+    # point coordinate k addresses grid axis 2-k (see quirk note above)
+    p = u[:, ::-1] * (sizes - 1.0)
+    p = jnp.clip(p, 0.0, sizes - 1.0)  # border padding
+    i0 = jnp.floor(p).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(static.shape, jnp.int32) - 1)
+    f = p - i0
+    out = jnp.zeros((xyz.shape[0], features.shape[-1]), features.dtype)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                ix = jnp.where(cx, i1[:, 0], i0[:, 0])
+                iy = jnp.where(cy, i1[:, 1], i0[:, 1])
+                iz = jnp.where(cz, i1[:, 2], i0[:, 2])
+                w = (
+                    jnp.where(cx, f[:, 0], 1.0 - f[:, 0])
+                    * jnp.where(cy, f[:, 1], 1.0 - f[:, 1])
+                    * jnp.where(cz, f[:, 2], 1.0 - f[:, 2])
+                )
+                rows = features[(ix * Y + iy) * Z + iz]
+                out = out + rows * w[:, None]
+    return out
+
+
 def ray_box_intersection(
     topo: VoxelTopology,
     static: VoxelStatic,

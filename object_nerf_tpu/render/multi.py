@@ -185,7 +185,8 @@ def _composite_multi(
 
 def render_rays_multi(
     params: Dict[str, Any],
-    rays_list: Sequence[jnp.ndarray],  # K × (N, 8)
+    rays_list: Sequence[jnp.ndarray],  # K × (N, 8) — or (N, 10) with a
+    # per-ray bbox-mask interval in ch 8:10 (clips fine samples, see below)
     obj_instance_ids: Tuple[int, ...],
     key: jnp.ndarray,
     settings: RenderSettings,
@@ -245,6 +246,15 @@ def render_rays_multi(
                 det=(settings.perturb == 0),
             )
             z_all = jnp.sort(jnp.concatenate([z, z_imp], -1), -1)
+            rays = rays_list[i]
+            if rays.shape[1] == 10:
+                # 10-ch rays carry a bbox mask interval: fine samples that
+                # land inside (near_mask, far_mask) are moved to far_mask
+                # (reference multi_rendering.py:279-287 — vestigial there,
+                # kept for rays-API parity; shape test is static)
+                near_m, far_m = rays[:, 8:9], rays[:, 9:10]
+                z_all = jnp.where((z_all > near_m) & (z_all < far_m),
+                                  far_m, z_all)
             xyz_f = (
                 o_list[i][:, None, :] + d_list[i][:, None, :] * z_all[..., None]
             )
@@ -287,7 +297,8 @@ def make_multi_eval_stages(
     (perturb=0, noise_std=0): the same mute/composite/pdf helpers run on
     the same inputs, only program boundaries move.
 
-    Returns render_chunk(params, rays_stack (K,N,8), voxel_topo, ct,
+    Returns render_chunk(params, rays_stack (K,N,8 — or 10 with the
+    bbox-mask interval channels, see render_rays_multi), voxel_topo, ct,
     skip_boxes) -> final-typ maps {rgb,depth,opacity}_{fine|coarse} — the
     contract EditableRenderer._render_multi consumes. For the voxel path
     pass voxel_static plus a prebuilt corner table `ct`
@@ -412,6 +423,13 @@ def make_multi_eval_stages(
                 None, z_mid, w_i[:, 1:-1], settings.N_importance, det=True,
             )
             z_all = jnp.sort(jnp.concatenate([z, z_imp], -1), -1)
+            if rays_stack.shape[-1] == 10:
+                # bbox-mask interval clip, same as render_rays_multi
+                # (reference multi_rendering.py:279-287)
+                near_m = rays_stack[i][:, 8:9]
+                far_m = rays_stack[i][:, 9:10]
+                z_all = jnp.where((z_all > near_m) & (z_all < far_m),
+                                  far_m, z_all)
             xyz_f = (
                 rays_stack[i][:, None, 0:3]
                 + rays_stack[i][:, None, 3:6] * z_all[..., None]

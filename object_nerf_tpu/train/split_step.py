@@ -81,10 +81,16 @@ def make_split_train_step(
     voxel_static: Optional[vg.VoxelStatic] = None,
     lr_schedule=None,
     donate: bool = True,
+    merge_bwd: bool = False,
 ):
     """Build the split train step. Same contract as `make_train_step`:
     returned callable is (state, batch, key, voxel_topo) -> (state, metrics)
-    with `voxel_topo` dynamic (pruning never recompiles)."""
+    with `voxel_topo` dynamic (pruning never recompiles).
+
+    `merge_bwd` dispatches the fine+coarse backward kernels as ONE
+    kernel-only program (7 programs/step instead of 8) — a candidate for
+    shaving per-program dispatch latency when the axon tunnel drifts;
+    measured by scripts/profile_bwd_merge.py before changing the default."""
     assert split_step_supported(settings, voxel_static)
     mlp = settings.mlp
     fi = settings.forward_instance
@@ -218,6 +224,16 @@ def make_split_train_step(
     def p_bwd_kernel(mlp_params, xyz, dir_pe, codes, vox, g_out):
         return bwd_kernel(mlp_params, xyz, dir_pe, codes, vox, g_out)
 
+    @jax.jit
+    def p_bwd_merged(p_fine, p_coarse, xyz_f, xyz_c, dir_pe, codes,
+                     vox_f, vox_c, g_f, g_c):
+        # both backward kernels in one kernel-only program; they execute
+        # serially on the core, so this only changes dispatch count
+        return (
+            bwd_kernel(p_fine, xyz_f, dir_pe, codes, vox_f, g_f),
+            bwd_kernel(p_coarse, xyz_c, dir_pe, codes, vox_c, g_c),
+        )
+
     def table_grad(voxel_features, voxel_topo, d_vox_c, flat_c, wts_c,
                    d_vox_f, flat_f, wts_f):
         """d_features from the per-sample reduced-feature cotangents of
@@ -302,12 +318,18 @@ def make_split_train_step(
         loss, logs, train_psnr, g_c, g_f = p5_loss_grad(
             z_vals, z_all, outs_c, outs_f, key, batch
         )
-        d_fine, d_codes_f, d_vox_f = p_bwd_kernel(
-            p["fine"], xyz_f, dir_pe, codes, vox_f, g_f
-        )
-        d_coarse, d_codes_c, d_vox_c = p_bwd_kernel(
-            p["coarse"], xyz_c, dir_pe, codes, vox_c, g_c
-        )
+        if merge_bwd:
+            (d_fine, d_codes_f, d_vox_f), (d_coarse, d_codes_c, d_vox_c) = (
+                p_bwd_merged(p["fine"], p["coarse"], xyz_f, xyz_c, dir_pe,
+                             codes, vox_f, vox_c, g_f, g_c)
+            )
+        else:
+            d_fine, d_codes_f, d_vox_f = p_bwd_kernel(
+                p["fine"], xyz_f, dir_pe, codes, vox_f, g_f
+            )
+            d_coarse, d_codes_c, d_vox_c = p_bwd_kernel(
+                p["coarse"], xyz_c, dir_pe, codes, vox_c, g_c
+            )
         return p8_update(
             state, ids, voxel_topo, d_coarse, d_fine, d_codes_c,
             d_codes_f, d_vox_c, flat_c, wts_c, d_vox_f, flat_f, wts_f,

@@ -163,3 +163,35 @@ def test_jit_compiles():
 
     out = f(params, rays, jax.random.PRNGKey(0))
     assert out.shape == (6, 3)
+
+
+def test_ten_channel_rays_clip_fine_samples():
+    """10-ch rays carry a bbox mask interval in ch 8:10: fine samples
+    inside (near_m, far_m) move to far_m (reference
+    multi_rendering.py:279-287). An empty interval must be a no-op."""
+    rays8 = _rays()
+    base = render_rays_multi(
+        _params(), [rays8], (0,), jax.random.PRNGKey(0), SETTINGS
+    )
+
+    empty = jnp.concatenate([rays8, jnp.zeros((rays8.shape[0], 2))], -1)
+    out_e = render_rays_multi(
+        _params(), [empty], (0,), jax.random.PRNGKey(0), SETTINGS
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_e["rgb_fine"]), np.asarray(base["rgb_fine"]),
+        rtol=0, atol=0,
+    )
+
+    near_m, far_m = 1.0, 2.0
+    masked = jnp.concatenate(
+        [rays8,
+         jnp.full((rays8.shape[0], 1), near_m),
+         jnp.full((rays8.shape[0], 1), far_m)], -1,
+    )
+    out_m = render_rays_multi(
+        _params(), [masked], (0,), jax.random.PRNGKey(0), SETTINGS
+    )
+    z = np.asarray(out_m["z_vals_fine"])
+    assert not np.any((z > near_m) & (z < far_m))  # interval emptied
+    assert np.all(np.diff(z, axis=-1) >= 0)  # clip preserves sort order

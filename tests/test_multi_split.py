@@ -219,3 +219,25 @@ def test_editable_renderer_routes_split_path():
     r_xla.settings = dataclasses.replace(SETTINGS, mlp=cfg)
     ref = r_xla.render_origin(4, 6, pose, fovx_deg=70, chunk=8)
     _assert_matches(got, ref)
+
+
+def test_split_ten_channel_mask_clip_matches_monolithic():
+    """(N, 10) rays (bbox mask interval in ch 8:10) clip fine samples the
+    same way in the split stages as in render_rays_multi."""
+    params = _params()
+    rays8 = _rays()
+    rays10 = jnp.concatenate(
+        [rays8, jnp.full((rays8.shape[0], 1), 1.0),
+         jnp.full((rays8.shape[0], 1), 2.0)], -1,
+    )
+    ref = render_rays_multi(
+        params, [rays10], (0,), jax.random.PRNGKey(0), SETTINGS,
+    )
+    chunk_fn = make_multi_eval_stages(SETTINGS_SPLIT, (0,))
+    got = chunk_fn(params, jnp.stack([rays10]))
+    _assert_matches(got, ref)
+    # and the clip actually changed the render vs plain 8-ch rays
+    plain = chunk_fn(params, jnp.stack([jnp.concatenate(
+        [rays8, jnp.zeros((rays8.shape[0], 2))], -1)]))
+    assert float(np.abs(np.asarray(got["rgb_fine"])
+                        - np.asarray(plain["rgb_fine"])).max()) > 1e-6

@@ -76,7 +76,7 @@ def _batch(n, seed=5):
 
 
 def _compare(settings, voxel_static=None, voxel_features=None, topo=None,
-             n=16, with_pass_through=False):
+             n=16, with_pass_through=False, merge_bwd=False):
     # plain SGD: the one-step param delta IS the gradient, so the compare
     # checks gradient parity directly. (Under Adam a single step is
     # ≈ lr·sign(g), which amplifies f32-reassociation noise in near-zero
@@ -93,7 +93,8 @@ def _compare(settings, voxel_static=None, voxel_features=None, topo=None,
     mono = make_train_step(settings, LOSS_W, optimizer, voxel_static,
                            lr_sched, donate=False)
     split = make_split_train_step(settings, LOSS_W, optimizer,
-                                  voxel_static, lr_sched, donate=False)
+                                  voxel_static, lr_sched, donate=False,
+                                  merge_bwd=merge_bwd)
 
     s_m, m_m = mono(_state(settings.mlp, optimizer, voxel_features),
                     batch, key, topo)
@@ -138,6 +139,12 @@ def test_split_step_voxel_matches_monolithic():
 def test_split_step_no_instance_branch():
     settings = _settings(forward_instance=False)
     _compare(settings)
+
+
+def test_split_step_merged_bwd_matches_monolithic():
+    # merge_bwd dispatches both backward kernels in one program (7
+    # programs/step); the math must be bit-for-bit the split step's
+    _compare(_settings(), merge_bwd=True)
 
 
 def test_split_step_rays_in_bbox_and_pass_through():

@@ -225,3 +225,38 @@ def _pruned(features, topo, static):
         idx_map=jnp.asarray(idx_map), occupancy=jnp.asarray(occ),
         n_occupied=jnp.int32(int(occ.sum())), row_to_cell=jnp.asarray(rtc),
     )
+
+
+def test_grid_sample_variant_matches_torch():
+    """voxel_lookup_grid_sample vs torch F.grid_sample with the reference's
+    exact call (embedding_helper.py:447-471): dense (X,Y,Z) grid read from
+    the table head, align_corners=True, border padding, and the quirky
+    axis order its rearrange induces (point coord k samples axis 2-k)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    X, Y, Z, C = 5, 4, 3, 6
+    static = vg.VoxelStatic(shape=(X, Y, Z), channels=C, n_freq_voxel=2,
+                            n_max_voxels=X * Y * Z + 7)
+    table = rng.randn(static.n_max_voxels, C).astype(np.float32)
+    bounds = np.asarray([[-1.0, -0.5, 0.0], [1.0, 1.5, 2.0]], np.float32)
+    # interior + out-of-bounds points (border padding must clamp)
+    pts = (rng.rand(64, 3) * 3.0 - 1.5).astype(np.float32)
+    pts = pts * (bounds[1] - bounds[0]) + bounds[0]
+
+    got = np.asarray(vg.voxel_lookup_grid_sample(
+        jnp.asarray(table), static, jnp.asarray(pts), jnp.asarray(bounds)))
+
+    inp = torch.from_numpy(table[: X * Y * Z]).reshape(X, Y, Z, C)
+    inp = inp.permute(3, 0, 1, 2)[None]  # (1, C, n1, n2, n3)
+    u = (pts - bounds[0]) / (bounds[1] - bounds[0])
+    g = torch.from_numpy(u * 2.0 - 1.0).reshape(1, 1, 1, -1, 3)
+    want = (
+        F.grid_sample(inp, g, padding_mode="border", align_corners=True,
+                      mode="bilinear")
+        .squeeze()
+        .permute(1, 0)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
