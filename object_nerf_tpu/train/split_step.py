@@ -36,7 +36,8 @@ carriers between programs, and P8 reproduces the dense voxel lookup's VJP
 (models/voxel_grid._take_rows segment-sum + the corner-table build
 transpose) outside the kernel programs.
 
-Host dispatch is async — all eight programs of a step enqueue without a
+Host dispatch is async — all programs of a step (7 with the default
+merged backward, 8 split fully) enqueue without a
 sync, so per-program dispatch latency overlaps device execution exactly
 as in the eval chunk pipeline.
 
@@ -81,16 +82,20 @@ def make_split_train_step(
     voxel_static: Optional[vg.VoxelStatic] = None,
     lr_schedule=None,
     donate: bool = True,
-    merge_bwd: bool = False,
+    merge_bwd: bool = True,
 ):
     """Build the split train step. Same contract as `make_train_step`:
     returned callable is (state, batch, key, voxel_topo) -> (state, metrics)
     with `voxel_topo` dynamic (pruning never recompiles).
 
-    `merge_bwd` dispatches the fine+coarse backward kernels as ONE
-    kernel-only program (7 programs/step instead of 8) — a candidate for
-    shaving per-program dispatch latency when the axon tunnel drifts;
-    measured by scripts/profile_bwd_merge.py before changing the default."""
+    `merge_bwd` (default ON) dispatches the fine+coarse backward kernels
+    as ONE kernel-only program — 7 programs/step instead of 8. Measured
+    on-chip (scripts/profile_bwd_merge.py, v5e): classical 19.42 → 19.31
+    ms/step, voxel flat (34.46 → 34.56) — no scoped-VMEM staging
+    competition between the two kernels sharing a program, and one fewer
+    dispatch buys ~3 ms/step of headroom when the axon tunnel's
+    per-program latency drifts from ~1 toward ~3 ms (the documented
+    81-102k classical spread)."""
     assert split_step_supported(settings, voxel_static)
     mlp = settings.mlp
     fi = settings.forward_instance

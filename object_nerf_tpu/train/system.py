@@ -377,15 +377,22 @@ class ObjectNeRFSystem:
         # step implementation is live and how many XLA programs one step
         # dispatches (split = 8, monolithic = 1 — split_step.py docstring)
         self.train_step_kind = "split" if use_split else "monolithic"
-        self.train_programs_per_step = 8 if use_split else 1
-        step_maker = make_split_train_step if use_split else make_train_step
-        return step_maker(
-            self.settings,
-            dict(config.loss),
-            self.optimizer,
-            self.voxel_static,
-            self.lr_schedule,
-            donate=bool(config.get("tpu", {}).get("donate_train_state", True)),
+        donate = bool(config.get("tpu", {}).get("donate_train_state", True))
+        if use_split:
+            # merged backward (default): fine+coarse bwd kernels share one
+            # program — measured neutral-to-better on-chip and one fewer
+            # dispatch under tunnel drift (split_step.make_split_train_step)
+            merge_bwd = bool(config.get("tpu", {}).get("merge_bwd", True))
+            self.train_programs_per_step = 7 if merge_bwd else 8
+            return make_split_train_step(
+                self.settings, dict(config.loss), self.optimizer,
+                self.voxel_static, self.lr_schedule, donate=donate,
+                merge_bwd=merge_bwd,
+            )
+        self.train_programs_per_step = 1
+        return make_train_step(
+            self.settings, dict(config.loss), self.optimizer,
+            self.voxel_static, self.lr_schedule, donate=donate,
         )
 
     def _restore(self, state: TrainState, ckpt_path) -> TrainState:

@@ -83,7 +83,8 @@ def main():
         new_state, m = maker(state, batch, key, system.voxel_topo)
         float(np.asarray(m["train/loss"]))
 
-        # The step's eight programs are closure-jitted inside
+        # The step's programs (7 with the default merged backward) are
+        # closure-jitted inside
         # make_split_train_step and not reachable from outside, so the
         # breakdown is: whole step vs a standalone chain of the four
         # kernel programs at the step's exact shapes — the difference is

@@ -185,6 +185,40 @@ def test_split_step_covers_post_subdivision_scannet_grid():
     assert not split_step_supported(_settings(), huge)
 
 
+def test_system_merge_bwd_knob():
+    """`tpu.merge_bwd` plumbs through ObjectNeRFSystem._build_train_step:
+    default ON → 7 programs/step, off → 8 (the bench observability fields
+    the driver record keys on)."""
+    from object_nerf_tpu.config import load_config
+    from object_nerf_tpu.data.synthetic import SyntheticDataset
+    from object_nerf_tpu.train.system import ObjectNeRFSystem
+
+    cfg = load_config()
+    cfg.model.merge(
+        dict(use_voxel_embedding=False, D=2, W=32, skips=[1], inst_D=2,
+             inst_W=16, inst_skips=[1], N_samples=8, N_importance=4,
+             N_max_objs=8, N_obj_code_length=8)
+    )
+    cfg.train.merge(dict(batch_size=32))
+    cfg.dataset_extra.merge(
+        dict(scale_factor=1.0, near=0.5, far=5.0,
+             scene_center=[0.0, 0.0, 0.0])
+    )
+    cfg.tpu.merge(dict(use_pallas=True, pallas_interpret=True,
+                       split_train_step=True))
+    ds = SyntheticDataset("train", img_wh=(16, 12), n_frames=1,
+                          dataset_extra=cfg.dataset_extra)
+
+    system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    assert system.train_step_kind == "split"
+    assert system.train_programs_per_step == 7  # merged bwd is the default
+
+    cfg.tpu.merge(dict(merge_bwd=False))
+    system8 = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+    assert system8.train_step_kind == "split"
+    assert system8.train_programs_per_step == 8
+
+
 def test_fast_path_decline_logs_loudly(tmp_path, capsys, monkeypatch):
     """When the grid exceeds the dense-table cap the system must SAY it is
     falling back to the monolithic step (a mid-run subdivision can flip
