@@ -19,7 +19,8 @@ emitted no matter what — missing metrics are null with an "errors" entry,
 never a silent rc=1.
 
 Dispatch observability: train metrics also report ms/step and the number
-of XLA programs dispatched per step (split step = 8). The classical train
+of XLA programs dispatched per step (7-8 with the split step, depending on
+tpu.merge_bwd; 1 monolithic). The classical train
 step sits at its kernel floor (~19.6 ms of 20.6), so it alone swings with
 the tunnel's per-program dispatch latency — reporting ms/step + program
 count lets the driver record distinguish code regressions from tunnel

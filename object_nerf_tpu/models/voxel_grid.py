@@ -485,9 +485,14 @@ def _corner_table_op_fwd(features, idx_map, row_to_cell, static):
 
 def _corner_table_op_bwd(static, row_to_cell, d_ct):
     d_f = corner_table_transpose(d_ct, row_to_cell, static)
-    # idx_map / row_to_cell are integer topology — no cotangent
-    zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
-    return (d_f, zero(row_to_cell), zero(row_to_cell))
+    # idx_map / row_to_cell are integer topology — no cotangent. Shapes must
+    # match the primal args (idx_map is (X·Y·Z,), derived from the nondiff
+    # static; row_to_cell is the (capacity,) residual) — custom_vjp may
+    # start validating symbolic-zero shapes for integer args.
+    X, Y, Z = static.shape
+    zero_idx_map = np.zeros((X * Y * Z,), jax.dtypes.float0)
+    zero_rtc = np.zeros(row_to_cell.shape, jax.dtypes.float0)
+    return (d_f, zero_idx_map, zero_rtc)
 
 
 _corner_table_op.defvjp(_corner_table_op_fwd, _corner_table_op_bwd)

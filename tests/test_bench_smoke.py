@@ -64,8 +64,10 @@ def test_bench_main_smoke(monkeypatch, capsys):
     for k in ("render_ms_per_frame", "train_ms_per_step",
               "voxel_train_ms_per_step"):
         assert rec[k] > 0, (k, rec)
+    # 1 = monolithic (CPU mesh), 7 = split step w/ merged bwd (TPU default),
+    # 8 = split step w/ tpu.merge_bwd=false
     for k in ("train_programs_per_step", "voxel_train_programs_per_step"):
-        assert rec[k] in (1, 8), (k, rec)
+        assert rec[k] in (1, 7, 8), (k, rec)
 
 
 def test_bench_survives_backend_failure(monkeypatch, capsys):

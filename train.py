@@ -66,9 +66,10 @@ def main(argv):
         pass
 
     best_psnr = -np.inf
+    epoch_psnr = -np.inf  # max val/psnr observed WITHIN the current epoch
 
     def on_val(epoch, it, metrics, sys_):
-        nonlocal best_psnr
+        nonlocal best_psnr, epoch_psnr
         step = int(sys_.state.step)
         if writer:
             for k, v in metrics.items():
@@ -86,6 +87,7 @@ def main(argv):
             except Exception as e:
                 print(f"  [val] image panel skipped: {e}")
         vp = metrics.get("val/psnr", -np.inf)
+        epoch_psnr = max(epoch_psnr, vp)
         # mid-epoch checkpoint on improvement (finer-grained than the
         # reference's per-epoch files — resume granularity at the 0.25-epoch
         # validation cadence)
@@ -103,21 +105,28 @@ def main(argv):
     # (train.py:241-251): one ckpt per epoch, save_top_k=-1 keeps them ALL,
     # monitor val/psnr max when a positive k prunes, plus a `last` ckpt
     save_top_k = int(config.train.get("save_top_k", -1))
-    epoch_ckpts = []  # [(psnr_at_save, path)]
+    epoch_ckpts = []  # [(epoch's own max val/psnr, path)]
 
     def on_epoch_end(epoch, sys_):
+        nonlocal epoch_psnr
         step = int(sys_.state.step)
         save_checkpoint(
             log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
             step=step, name="last",
         )
         if save_top_k == 0:
+            epoch_psnr = -np.inf
             return
         path = save_checkpoint(
             log_path, sys_.state, sys_.voxel_topo, sys_.voxel_static,
             step=step, name=f"epoch_{epoch}",
         )
-        epoch_ckpts.append((best_psnr, path))
+        # rank by the epoch's OWN metric (the reference ModelCheckpoint
+        # monitors the per-save val/psnr, train.py:241-251) — the global
+        # running best would tie later epochs at the record and let a
+        # regressed epoch outlive a genuinely better one
+        epoch_ckpts.append((epoch_psnr, path))
+        epoch_psnr = -np.inf
         if save_top_k > 0 and len(epoch_ckpts) > save_top_k:
             import shutil
 
