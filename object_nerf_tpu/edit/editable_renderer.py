@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..data.ray_utils import get_ray_directions, get_rays
 from ..data.geo_utils import center_pose_from_avg
+from ..parallel.mesh import make_mesh, replicate
 from ..render.renderer import RenderSettings
 from ..render.multi import render_rays_multi, make_multi_eval_stages
 from .bbox import BBoxRayHelper, boxes_to_arrays
@@ -64,11 +65,17 @@ def read_testing_config(cli_args=None, config_path=None):
 
 
 class EditableRenderer:
-    def __init__(self, config, params=None, voxel=None):
+    def __init__(self, config, params=None, voxel=None, mesh=None):
         """config: the merged edit config (read_testing_config). If `params`
-        is given, skips checkpoint loading (tests inject fresh params)."""
+        is given, skips checkpoint loading (tests inject fresh params).
+        `mesh`: the device mesh — defaults to all devices, like
+        ObjectNeRFSystem; on >1 devices the edit render runs SPMD (rays
+        sharded, params replicated — the reference's DDP semantics,
+        train.py:261-262, extended to the L5 edit path)."""
         self.config = config
         self.ckpt_config = Config(config.ckpt_config)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
 
         dataset_extra = self.ckpt_config.dataset_extra
         self.near = float(config.get("near", dataset_extra.near))
@@ -81,15 +88,53 @@ class EditableRenderer:
         self.use_voxel = bool(
             self.ckpt_config.model.get("use_voxel_embedding", True)
         )
+        # tpu.* hooks, same contract as ObjectNeRFSystem: the ckpt's
+        # training config provides defaults, the edit config overrides
+        # (reference editable_renderer.py:25-49 merge order)
+        tpu_cfg = dict(self.ckpt_config.get("tpu", {}) or {})
+        tpu_cfg.update(dict(config.get("tpu", {}) or {}))
+        use_pallas = tpu_cfg.get("use_pallas", "auto")
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        pallas_kw = dict(
+            pallas_interpret=bool(tpu_cfg.get("pallas_interpret", False))
+        )
+        if pallas_kw["pallas_interpret"]:
+            pallas_kw["pallas_dtype"] = "float32"
+        if self.n_devices > 1:
+            # Pallas launches shard_map their ray axis over the mesh
+            # (GSPMD can't partition tpu_custom_call — parallel/mesh.py)
+            pallas_kw["shard_mesh"] = self.mesh
         self.settings = RenderSettings.from_config(
-            self.ckpt_config, is_eval=True,
-            use_pallas=jax.default_backend() == "tpu",
+            self.ckpt_config, is_eval=True, use_pallas=bool(use_pallas),
+            **pallas_kw,
         )
 
         if params is None:
             params, voxel = self._load_model(config.ckpt_path)
         self.params = params
         self.voxel_ctx = voxel  # (features, topo, static) or None
+        if self.n_devices > 1:
+            self.params = replicate(self.params, self.mesh)
+            if self.voxel_ctx is not None:
+                features, topo, static = self.voxel_ctx
+                self.voxel_ctx = (
+                    self.params.get("voxel_features",
+                                    replicate(features, self.mesh)),
+                    replicate(topo, self.mesh),
+                    static,
+                )
+        if self.n_devices > 1:
+            # the chunk ray stack is (K objects, N rays, 8): shard the RAY
+            # axis — same device_put-per-chunk pattern as
+            # ObjectNeRFSystem.render_image (train/system.py:476-484)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._stack_sharding = NamedSharding(
+                self.mesh, P(None, self.mesh.axis_names[0])
+            )
+        else:
+            self._stack_sharding = None
 
         self.object_to_remove: List[int] = []
         self.active_object_ids: List[int] = [0]
@@ -307,16 +352,20 @@ class EditableRenderer:
                 chunk_rays = [
                     jnp.concatenate([r, jnp.repeat(r[-1:], pad, 0)]) for r in chunk_rays
                 ]
+            stack = jnp.stack(chunk_rays)
+            if self._stack_sharding is not None and chunk % self.n_devices == 0:
+                # multi-chip: shard the chunk's ray axis so every chunk
+                # program runs SPMD (params already replicated)
+                stack = jax.device_put(stack, self._stack_sharding)
             if use_split:
                 outs.append(
-                    fn(self.params, jnp.stack(chunk_rays),
+                    fn(self.params, stack,
                        voxel_topo=voxel_topo, ct=ct, skip_boxes=skip_boxes)
                 )
             else:
                 self.key, sub = jax.random.split(self.key)
                 outs.append(
-                    fn(self.params, jnp.stack(chunk_rays), sub,
-                       voxel_features, skip_boxes)
+                    fn(self.params, stack, sub, voxel_features, skip_boxes)
                 )
         merged = {
             k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]

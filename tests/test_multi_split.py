@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from object_nerf_tpu.config import Config
 from object_nerf_tpu.models.mlp import ObjectNeRFConfig, init_object_nerf
 from object_nerf_tpu.models.code_library import init_code_library
 from object_nerf_tpu.render.renderer import RenderSettings
@@ -219,6 +220,118 @@ def test_editable_renderer_routes_split_path():
     r_xla.settings = dataclasses.replace(SETTINGS, mlp=cfg)
     ref = r_xla.render_origin(4, 6, pose, fovx_deg=70, chunk=8)
     _assert_matches(got, ref)
+
+
+def _edit_conf(extra=None):
+    conf = Config({
+        "ckpt_config": {
+            "dataset_name": "toydesk",
+            "model": {
+                "use_voxel_embedding": False,
+                "D": 2, "W": 32, "skips": [1],
+                "inst_D": 2, "inst_W": 16, "inst_skips": [1],
+                "N_freq_xyz": 10, "N_freq_dir": 4, "N_freq_voxel": 6,
+                "N_scn_voxel_size": 16, "N_obj_voxel_size": 8,
+                "N_samples": 12, "N_importance": 6,
+                "frustum_bound": -1, "use_disp": False,
+                "perturb": 0, "noise_std": 0,
+                "N_max_objs": 16, "N_obj_code_length": 8,
+            },
+            "dataset_extra": {
+                "near": 0.5, "far": 3.0, "scale_factor": 1.0,
+                "scene_center": [0.0, 0.0, 0.0],
+            },
+        },
+    })
+    if extra:
+        conf.merge(extra)
+    return conf
+
+
+def test_editable_renderer_tpu_config_hooks():
+    """The `tpu.*` hooks (use_pallas / pallas_interpret) drive
+    EditableRenderer.render_edit through make_multi_eval_stages in
+    interpreter mode on CPU — same single-entry-point contract as
+    ObjectNeRFSystem (reference render_tools/editable_renderer.py:52-79)."""
+    import json as _json
+    from object_nerf_tpu.edit.editable_renderer import EditableRenderer
+
+    params = _params()
+    conf = _edit_conf({"tpu": {"use_pallas": True, "pallas_interpret": True}})
+    # a bbox for object 1 so render_edit can clip its rays
+    import tempfile, os
+    bbox = {"labels": [{"id": 1, "data": {
+        "position": [0.3, 0.0, 0.25], "quaternion": [0, 0, 0, 1],
+        "scale": [0.5, 0.5, 0.5]}}]}
+    td = tempfile.mkdtemp()
+    bbox_path = os.path.join(td, "bbox.json")
+    with open(bbox_path, "w") as f:
+        _json.dump(bbox, f)
+    conf.ckpt_config["dataset_extra"]["bbox_dir"] = bbox_path
+
+    r = EditableRenderer(conf, params=params)
+    assert r.settings.use_pallas and r.settings.pallas_interpret
+    assert r.settings.pallas_dtype == "float32"
+
+    pose = np.eye(4)
+    r.set_object_pose_transform(1, pose, 0)
+    Twc = np.eye(4)
+    Twc[:3, 3] = [0.0, -2.0, 0.5]
+    got = r.render_edit(h=4, w=6, camera_pose_Twc=Twc, fovx_deg=70, chunk=8)
+    assert got["rgb_fine"].shape == (24, 3)
+    # the staged (split-program) path was actually taken
+    assert any(sig[-1] for sig in r._chunk_fns), r._chunk_fns.keys()
+
+    # and it matches the default XLA renderer on the same edit
+    conf_xla = _edit_conf()
+    conf_xla.ckpt_config["dataset_extra"]["bbox_dir"] = bbox_path
+    r_xla = EditableRenderer(conf_xla, params=params)
+    assert not r_xla.settings.use_pallas
+    r_xla.set_object_pose_transform(1, pose, 0)
+    ref = r_xla.render_edit(h=4, w=6, camera_pose_Twc=Twc, fovx_deg=70,
+                            chunk=8)
+    _assert_matches(got, ref)
+
+
+def test_editable_renderer_multichip_matches_single_device():
+    """EditableRenderer on an 8-device mesh (rays sharded per chunk, params
+    replicated, kernel stages shard_map'd via settings.shard_mesh) must
+    reproduce the 1-device render — the reference's DDP semantics
+    (train.py:261-262) extended to the L5 edit path."""
+    from jax.sharding import Mesh
+    from object_nerf_tpu.edit.editable_renderer import EditableRenderer
+
+    params = _params()
+    tpu = {"tpu": {"use_pallas": True, "pallas_interpret": True}}
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    mesh8 = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+    Twc = np.eye(4)
+    Twc[:3, 3] = [0.0, -2.0, 0.5]
+
+    def render(mesh):
+        r = EditableRenderer(_edit_conf(dict(tpu)), params=params, mesh=mesh)
+        return r, r.render_origin(h=8, w=8, camera_pose_Twc=Twc, chunk=16)
+
+    r8, got = render(mesh8)
+    assert r8.settings.shard_mesh is mesh8
+    assert r8._stack_sharding is not None
+    r1, ref = render(mesh1)
+    assert r1.settings.shard_mesh is None and r1._stack_sharding is None
+    # default (kernel) tolerance: sharding the input stack changes GSPMD
+    # fusion in the glue programs; the ~1e-7 f32 drift gets amplified at
+    # inverse-CDF bin boundaries (a fine z sample moves discontinuously) —
+    # measured ≤1e-3 on maps, same order as the fused-kernel tolerance
+    _assert_matches(got, ref)
+
+    # the XLA (non-pallas) monolithic path also shards cleanly (same
+    # amplification mode: one fine sample per ~64 rays crossing a CDF bin
+    # boundary moves depth by ~2e-3 — bounded, not a correctness drift)
+    g2 = EditableRenderer(_edit_conf(), params=params, mesh=mesh8)
+    ref2 = EditableRenderer(_edit_conf(), params=params, mesh=mesh1)
+    out2 = g2.render_origin(h=8, w=8, camera_pose_Twc=Twc, chunk=16)
+    exp2 = ref2.render_origin(h=8, w=8, camera_pose_Twc=Twc, chunk=16)
+    _assert_matches(out2, exp2, rtol=1e-3, atol=2e-3)
 
 
 def test_split_ten_channel_mask_clip_matches_monolithic():
