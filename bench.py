@@ -4,8 +4,9 @@ Measures rays/sec/chip rendering a 640×480 image (307,200 rays) through the
 full eval pipeline — 64 coarse + 64 importance samples, scene + instance
 branches (the reference's headline configuration,
 config/default_conf.yml:14-27) — on the default JAX device (TPU under the
-driver), plus three secondary metrics (voxel render, train step, voxel
-train step).
+driver), plus four secondary metrics (voxel render, train step, voxel
+train step at the flagship ScanNet-scale grid, editable multi-object
+render at the reference demo shape).
 
 Prints ONE JSON line (ALWAYS, even when the backend fails mid-run):
   {"metric": ..., "value": N, "unit": "rays/sec/chip", "vs_baseline": N,
@@ -46,6 +47,8 @@ BASELINE_RAYS_PER_SEC = 20_000.0  # estimated PyTorch CUDA reference (see above)
 
 W, H = 640, 480
 CHUNK = 7680  # 640×480 = 40 chunks exactly
+EDIT_W, EDIT_H = 320, 240  # the reference edit-demo frame (test/config/*.yaml:5)
+EDIT_CHUNK = 4096  # edit_scannet_0113.yaml:4
 ITERS = 5
 TRAIN_BATCH = 2048  # the reference's train batch (default_conf.yml:39)
 TRAIN_WARMUP = 5
@@ -90,19 +93,31 @@ def _bench_train_step(cfg, use_voxel=False):
         if use_voxel:
             from object_nerf_tpu.data.ply_io import write_ply
 
-            rng = np.random.RandomState(0)
-            pts = [rng.rand(8000, 3) * [2.4, 2.4, 0.0] - [1.2, 1.2, 0.0]]
-            for c, r in ([[0.3, 0.0, 0.25], 0.25], [[-0.35, 0.2, 0.2], 0.2]):
-                d = rng.randn(6000, 3)
-                d /= np.linalg.norm(d, axis=-1, keepdims=True)
-                pts.append(np.asarray(c) + r * d)
+            # FLAGSHIP-scale grid: the same ScanNet-scale room the voxel
+            # RENDER bench uses (0.1 m voxels on a 6×6×2.5 m scan —
+            # reference scannet_base_0113.yml:37). Through round 4 this
+            # bench ran a 2.4 m toy patch whose small corner table
+            # overstated real-scene train throughput ~1.7× (BASELINE.md
+            # big-grid campaign); the driver record now reflects the
+            # real-scene cost. Rays bounded inside the normalized room.
+            cfg.dataset_extra.merge(dict(
+                scale_factor=2.5, scene_center=[0.0, 0.0, 1.25],
+                near=0.05, far=2.4, voxel_size=0.1, neighbor_marks=3,
+            ))
             pcd = f"{td}/scene.ply"
-            write_ply(pcd, np.concatenate(pts).astype(np.float32))
-            cfg.dataset_extra.merge(dict(pcd_path=pcd, voxel_size=0.1,
-                                         neighbor_marks=3))
+            write_ply(pcd, scannet_scale_pcd())
+            cfg.dataset_extra.merge(dict(pcd_path=pcd))
         ds = SyntheticDataset("train", img_wh=(64, 48), n_frames=2,
                               dataset_extra=cfg.dataset_extra)
         system = ObjectNeRFSystem(cfg, dataset=ds, val_dataset=None)
+        if use_voxel:
+            print(
+                f"[bench] voxel-train grid: shape={system.voxel_static.shape}"
+                f" occupied="
+                f"{int(np.asarray(jax.device_get(system.voxel_topo.n_occupied)))}"
+                f" capacity={system.voxel_static.n_max_voxels}",
+                file=sys.stderr,
+            )
         rng = np.random.RandomState(0)
         batches = [ds.sample_batch(b, rng) for _ in range(8)]
         m = system.training_step(batches[0])
@@ -211,6 +226,88 @@ def _bench_voxel_render(cfg):
     return W * H / dt, dt * 1e3
 
 
+def _bench_edit_render(cfg):
+    """Editable multi-object render — the paper's headline demo surface
+    (reference test/demo_editable_render.py:45-108 at 320×240, chunk 4096,
+    test/config/edit_scannet_0113.yaml:4-7): background + one moved object
+    with bbox-clipped near/far (~35% of object rays hit, the rest muted),
+    voxel-conditioned on the ScanNet-scale grid, dispatched through the
+    split-program multi-object path (render/multi.make_multi_eval_stages —
+    exactly what EditableRenderer._render_multi dispatches on TPU, with
+    the corner table prebuilt once per frame).
+
+    Returns (rays/s, ms/frame, programs/chunk). rays/s counts PIXELS
+    (76,800/frame); each pixel evaluates K=2 ray sets through coarse+fine.
+    """
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.render.multi import make_multi_eval_stages
+    from object_nerf_tpu.train.system import init_params
+    from object_nerf_tpu.models import voxel_grid as vg
+
+    cfg = cfg.copy()
+    cfg.model.use_voxel_embedding = True
+    cfg.dataset_extra.merge(dict(scale_factor=2.5,
+                                 scene_center=[0.0, 0.0, 1.25],
+                                 voxel_size=0.1, neighbor_marks=3))
+    use_pallas = jax.default_backend() == "tpu"
+    pallas_kw = {}
+    if not use_pallas:
+        # the split stages dispatch pltpu pallas_calls unconditionally —
+        # off-TPU they must run interpreter-mode (smoke only)
+        pallas_kw = dict(pallas_interpret=True, pallas_dtype="float32")
+    settings = RenderSettings.from_config(cfg, is_eval=True,
+                                          use_pallas=use_pallas, **pallas_kw)
+    ids = (0, 4)  # background + the demo's duplicated object id
+    features, topo, static = vg.build_voxel_grid_from_config(
+        scannet_scale_pcd(), cfg, key=jax.random.PRNGKey(2)
+    )
+    assert vg._dense_path_ok(static)
+    params = jax.device_put(
+        init_params(jax.random.PRNGKey(0), settings, cfg.model, features)
+    )
+    lowp = use_pallas and settings.pallas_dtype == "bfloat16"
+    # corner table prebuilt ONCE per frame (EditableRenderer._prebuild_...)
+    ct = jax.jit(
+        lambda f: vg.make_corner_table(f, topo, static, lowp=lowp)
+    )(params["voxel_features"])
+
+    n = EDIT_W * EDIT_H
+    chunk = EDIT_CHUNK
+
+    def make_rays(seed, near, far, hit_frac=1.0):
+        rng = np.random.RandomState(seed)
+        o = np.zeros((n, 3), np.float32)
+        d = rng.randn(n, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        nearc = np.full((n, 1), near, np.float32)
+        farc = np.full((n, 1), far, np.float32)
+        if hit_frac < 1.0:
+            miss = rng.rand(n) >= hit_frac
+            nearc[miss] = 0.0
+            farc[miss] = 0.0
+        return np.concatenate([o, d, nearc, farc], -1)
+
+    rays_bg = make_rays(0, 0.05, 2.4)
+    rays_ob = make_rays(1, 0.6, 1.4, hit_frac=0.35)
+    stacks = []
+    for i in range(0, n, chunk):
+        sl = [r[i : i + chunk] for r in (rays_bg, rays_ob)]
+        if sl[0].shape[0] < chunk:
+            p = chunk - sl[0].shape[0]
+            sl = [np.concatenate([r, np.repeat(r[-1:], p, 0)]) for r in sl]
+        stacks.append(jax.device_put(jnp.stack([jnp.asarray(x) for x in sl])))
+
+    split_fn = make_multi_eval_stages(settings, ids, voxel_static=static)
+
+    def frame():
+        outs = [split_fn(params, s, voxel_topo=topo, ct=ct) for s in stacks]
+        return float(np.asarray(outs[-1]["rgb_fine"][0].sum()))
+
+    dt = _time_frames(frame)
+    programs = 2 * len(ids) + 3  # prep, K coarse, merge, K fine, final
+    return n / dt, dt * 1e3, programs
+
+
 def _bench_render(cfg):
     """Headline metric: classical-PE 640×480 eval render.
 
@@ -281,6 +378,19 @@ def main():
             print(
                 f"[bench] voxel render {W}x{H} (64+64, ScanNet-scale grid): "
                 f"{vrender_rps:,.0f} rays/s", file=sys.stderr,
+            )
+
+        r = _attempt("edit_render", lambda: _bench_edit_render(cfg), errors)
+        if r is not None:
+            edit_rps, ms, progs = r
+            record["edit_render_rays_per_sec"] = round(edit_rps, 1)
+            record["edit_render_ms_per_frame"] = round(ms, 2)
+            record["edit_render_programs_per_chunk"] = progs
+            print(
+                f"[bench] edit render {EDIT_W}x{EDIT_H} (K=2, 64+64, "
+                f"ScanNet-scale grid, chunk {EDIT_CHUNK}): "
+                f"{edit_rps:,.0f} rays/s, {ms:.1f} ms/frame, "
+                f"{progs} programs/chunk", file=sys.stderr,
             )
 
         r = _attempt("train", lambda: _bench_train_step(cfg), errors)

@@ -38,6 +38,9 @@ def _shrink(monkeypatch):
     monkeypatch.setattr(bench, "W", 128)
     monkeypatch.setattr(bench, "H", 6)
     monkeypatch.setattr(bench, "CHUNK", 256)
+    monkeypatch.setattr(bench, "EDIT_W", 24)
+    monkeypatch.setattr(bench, "EDIT_H", 4)
+    monkeypatch.setattr(bench, "EDIT_CHUNK", 48)
     monkeypatch.setattr(bench, "ITERS", 1)
     monkeypatch.setattr(bench, "TRAIN_BATCH", 256)
     monkeypatch.setattr(bench, "TRAIN_WARMUP", 1)
@@ -56,14 +59,17 @@ def test_bench_main_smoke(monkeypatch, capsys):
     assert rec["metric"] == "render_rays_per_sec_per_chip_640x480"
     assert rec["unit"] == "rays/sec/chip"
     for k in ("value", "vs_baseline", "voxel_render_rays_per_sec",
-              "train_rays_per_sec", "voxel_train_rays_per_sec"):
+              "train_rays_per_sec", "voxel_train_rays_per_sec",
+              "edit_render_rays_per_sec"):
         assert k in rec, (k, rec)
         assert rec[k] > 0, (k, rec)
     assert "errors" not in rec, rec
     # dispatch observability: ms + programs/step accompany the train metrics
     for k in ("render_ms_per_frame", "train_ms_per_step",
-              "voxel_train_ms_per_step"):
+              "voxel_train_ms_per_step", "edit_render_ms_per_frame"):
         assert rec[k] > 0, (k, rec)
+    # split multi-object path: prep, K coarse, merge, K fine, final = 2K+3
+    assert rec["edit_render_programs_per_chunk"] == 7, rec
     # 1 = monolithic (CPU mesh), 7 = split step w/ merged bwd (TPU default),
     # 8 = split step w/ tpu.merge_bwd=false
     for k in ("train_programs_per_step", "voxel_train_programs_per_step"):
@@ -110,6 +116,7 @@ def test_bench_survives_total_failure(monkeypatch, capsys):
 
     monkeypatch.setattr(bench, "_bench_render", dead)
     monkeypatch.setattr(bench, "_bench_voxel_render", dead)
+    monkeypatch.setattr(bench, "_bench_edit_render", dead)
     monkeypatch.setattr(bench, "_bench_train_step", dead)
 
     bench.main()
@@ -118,5 +125,5 @@ def test_bench_survives_total_failure(monkeypatch, capsys):
     assert len(out) == 1, out
     rec = json.loads(out[0])
     assert rec["value"] is None and rec["vs_baseline"] is None
-    assert set(rec["errors"]) == {"render", "voxel_render", "train",
-                                  "voxel_train"}
+    assert set(rec["errors"]) == {"render", "voxel_render", "edit_render",
+                                  "train", "voxel_train"}
