@@ -165,10 +165,14 @@ def _eval_branches(
     (RS, 1)/(RS, 3) arrays (instance outputs None when disabled; scene
     outputs None when compute_scene=False — the editable renderer evaluates
     objects through the instance branch alone, multi_rendering.py:63-68).
-    sigma_only skips the rgb heads entirely (no dir/code operands): the
-    coarse eval pass only needs scene density for the importance pdf."""
+    sigma_only skips the rgb heads entirely (no dir operands): the coarse
+    eval pass only needs scene density for the importance pdf, and the
+    mesh-extraction sigma grid needs scene OR instance density. In
+    sigma-only mode with forward_instance the code ref rides LAST in
+    data_refs (layout: xyz[, voxel_raw][, codes])."""
     if sigma_only:
-        xyz_ref, dir_ref, code_ref = data_refs[0], None, None
+        xyz_ref, dir_ref = data_refs[0], None
+        code_ref = data_refs[-1] if forward_instance else None
     else:
         xyz_ref, dir_ref, code_ref = data_refs[:3]
 
@@ -957,3 +961,147 @@ def fused_coarse_weights(
         ),
         interpret=interpret,
     )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# Point-wise sigma: the mesh-extraction density query through the fused trunk
+# ---------------------------------------------------------------------------
+
+
+def _sigma_kernel(
+    *refs,
+    cfg: ObjectNeRFConfig,
+    n_samples: int,
+    n_rays_tile: int,
+    names: Tuple[str, ...],
+    use_voxel: bool,
+    forward_instance: bool,
+    dtype,
+):
+    n_data = 1 + int(use_voxel) + int(forward_instance)
+    data_refs = refs[:n_data]
+    w = {name: ref[:] for name, ref in zip(names, refs[n_data:-1])}
+    out_ref = refs[-1]
+
+    sigma, _, i_sigma, _ = _eval_branches(
+        data_refs, w, cfg, n_samples, use_voxel,
+        forward_instance=forward_instance, dt=dtype,
+        compute_scene=not forward_instance, sigma_only=True,
+    )
+    s = i_sigma if forward_instance else sigma  # (rows, 1)
+    # lane-changing reshape (rows,1)→(r,s) must go through the [:, 0]
+    # pattern (Mosaic "unsupported shape cast" otherwise — CLAUDE.md)
+    out_ref[:] = s[:, 0].reshape(n_rays_tile, n_samples)
+
+
+def fused_sigma_eval(
+    mlp_params: Dict[str, Any],
+    cfg: ObjectNeRFConfig,
+    pts: jnp.ndarray,  # (N, 3) — N divisible by samples_per_row
+    voxel_raw: Optional[jnp.ndarray] = None,  # (N, C_vox)
+    obj_codes: Optional[jnp.ndarray] = None,  # (N // samples_per_row, C_code)
+    branch: str = "scene",
+    samples_per_row: int = 64,
+    rows_budget: int = 2048,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    vmem_limit_mb: int = 100,
+    mesh=None,
+) -> jnp.ndarray:
+    """Density of N arbitrary points through the fused sigma-only kernel —
+    the mesh-extraction hot loop (reference tools/extract_mesh.py:78-111
+    queries the fine model's sigma over a dense 512³ = 134M-point grid).
+
+    Same trunk machinery as `fused_coarse_weights` (the eval coarse pass):
+    points are tiled as (N/samples_per_row) pseudo-rays × samples_per_row
+    samples so the existing block layout applies; no z/dir/rgb operands
+    ever reach the kernel. branch='scene' evaluates the scene trunk +
+    sigma head (obj_id 0); branch='instance' evaluates the OBJECT branch
+    with per-row latent codes (obj_id > 0, one code per pseudo-row).
+
+    `mesh`: shard the point axis over a >1-device mesh (shard_over_rays).
+
+    Returns (N,) float32 sigma (pre-ReLU, the reference's raw head output).
+    """
+    n, three = pts.shape
+    assert three == 3
+    s = samples_per_row
+    if n % s:
+        raise ValueError(f"N={n} not divisible by samples_per_row={s}")
+    n_rays = n // s
+    use_voxel = cfg.use_voxel_embedding
+    if use_voxel and voxel_raw is None:
+        raise ValueError("voxel_raw required when cfg.use_voxel_embedding")
+    forward_instance = branch == "instance"
+    if forward_instance and obj_codes is None:
+        raise ValueError("obj_codes required for branch='instance'")
+
+    if shard_over_rays(mesh, n_rays):
+        local = functools.partial(
+            fused_sigma_eval, cfg=cfg, branch=branch,
+            samples_per_row=s, rows_budget=rows_budget, dtype=dtype,
+            interpret=interpret, vmem_limit_mb=vmem_limit_mb, mesh=None,
+        )
+        fn = _ray_sharded(
+            lambda p, x, v, c: local(p, pts=x.reshape(-1, 3),
+                                     voxel_raw=None if v is None
+                                     else v.reshape(x.shape[0] * s, -1),
+                                     obj_codes=c),
+            mesh=mesh, n_replicated=1, n_sharded=3, out_specs=True,
+        )
+        vox_rows = (None if voxel_raw is None
+                    else voxel_raw.reshape(n_rays, s, -1))
+        return fn(mlp_params, pts.reshape(n_rays, s, 3), vox_rows,
+                  obj_codes).reshape(-1)
+
+    r = _ray_tile(n_rays, s, rows_budget, interpret=interpret)
+    rows = r * s
+    grid = (n_rays // r,)
+
+    names, weight_arrays = prepare_kernel_weights(
+        mlp_params, cfg, forward_instance=forward_instance, sigma_only=True,
+        dtype=dtype,
+    )
+
+    inputs = [pts]
+    in_specs = [
+        pl.BlockSpec((rows, 3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    if use_voxel:
+        inputs.append(voxel_raw)
+        in_specs.append(
+            pl.BlockSpec((rows, voxel_raw.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if forward_instance:
+        inputs.append(obj_codes)
+        in_specs.append(
+            pl.BlockSpec((r, obj_codes.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    inputs.extend(weight_arrays)
+    in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in weight_arrays)
+
+    kernel = functools.partial(
+        _sigma_kernel,
+        cfg=cfg,
+        n_samples=s,
+        n_rays_tile=r,
+        names=names,
+        use_voxel=use_voxel,
+        forward_instance=forward_instance,
+        dtype=dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((r, s), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_rays, s), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(-1)

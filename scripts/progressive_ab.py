@@ -27,7 +27,7 @@ import jax  # noqa: E402
 
 
 def run_arm(progressive: bool, epochs: int, voxel_size: float,
-            root_dir=None, img_wh=None):
+            root_dir=None, img_wh=None, model_overrides=None):
     from object_nerf_tpu.config import load_config
     from object_nerf_tpu.data import dataset_dict
     from object_nerf_tpu.train.system import ObjectNeRFSystem
@@ -36,6 +36,8 @@ def run_arm(progressive: bool, epochs: int, voxel_size: float,
     cfg.train.merge(dict(
         num_epochs=epochs, progressive_train=progressive, seed=42,
     ))
+    if model_overrides:
+        cfg.model.merge(dict(model_overrides))
     if root_dir is not None:
         cfg.dataset_extra.merge(dict(
             root_dir=root_dir, pcd_path=f"{root_dir}/pcd.ply",
@@ -83,7 +85,19 @@ def main():
                     help="use the FINE-detail scene (lawn of r=0.04-0.07 "
                          "spheres + 12/unit checker at 160x120) — sub-voxel "
                          "structure that a coarse grid cannot represent")
+    ap.add_argument("--capacity", action="store_true",
+                    help="capacity-bound arm (VERDICT r4 #5): shrink the "
+                         "scene trunk to W=64/D=4 (PE-only capacity binds) "
+                         "on the fine-detail scene, to test BASELINE.md's "
+                         "hypothesis that subdivision only pays when MLP "
+                         "capacity is the binding constraint; implies "
+                         "--detail")
     args = ap.parse_args()
+
+    if args.capacity:
+        args.detail = True
+        if args.out == "debug/progressive_ab.json":
+            args.out = "debug/progressive_ab_capacity.json"
 
     root_dir = img_wh = None
     if args.detail:
@@ -97,12 +111,20 @@ def main():
 
         make_dataset("data/synthetic_desk")
 
+    model_overrides = None
+    if args.capacity:
+        # small enough that the trunk cannot memorize the PE(xyz, 10)
+        # detail on its own — voxel-feature resolution becomes the only
+        # path to sub-voxel structure (skips=[2] keeps one mid-trunk skip)
+        model_overrides = dict(W=64, D=4, skips=[2], inst_W=64, inst_D=4)
+
     results = {}
     for progressive in (True, False):
         arm = "progressive" if progressive else "fixed"
         print(f"=== arm: {arm} ({args.epochs} epochs) ===", flush=True)
         results[arm] = run_arm(progressive, args.epochs, args.voxel_size,
-                               root_dir=root_dir, img_wh=img_wh)
+                               root_dir=root_dir, img_wh=img_wh,
+                               model_overrides=model_overrides)
         last = results[arm][-1]
         print(f"{arm}: final val/psnr {last['val_psnr']:.2f} "
               f"(voxel_size {last['voxel_size']})", flush=True)
@@ -120,7 +142,9 @@ def main():
         summary["progressive"]["final_psnr_mean_last4"]
         - summary["fixed"]["final_psnr_mean_last4"])
     out = {"epochs": args.epochs, "voxel_size": args.voxel_size,
-           "detail": args.detail, "curves": results, "summary": summary}
+           "detail": args.detail, "capacity": args.capacity,
+           "model_overrides": model_overrides,
+           "curves": results, "summary": summary}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)

@@ -63,3 +63,56 @@ def test_extract_mesh_cli(tmp_path, capsys):
     assert colors is not None and colors.shape == (len(verts), 3)
     # vertices land inside the queried world box (after scale_factor=1)
     assert verts[:, 0].min() >= -1.2 - 1e-5 and verts[:, 0].max() <= 1.2 + 1e-5
+
+
+def test_sigma_grid_pallas_matches_xla(tmp_path):
+    """extract_sigma_grid's fused-kernel route (interpret mode) matches the
+    XLA route — classical scene branch, voxel-conditioned scene branch, and
+    the obj_id>0 instance branch (all three reference extract_mesh modes,
+    tools/extract_mesh.py:95-110)."""
+    import dataclasses
+
+    import jax
+    from object_nerf_tpu.config import Config, load_config
+    from object_nerf_tpu.models import voxel_grid as vg
+    from object_nerf_tpu.render.renderer import RenderSettings
+    from object_nerf_tpu.train.system import ObjectNeRFSystem, init_params
+
+    import extract_mesh
+
+    grid_conf = Config({
+        "N_grid": 12, "chunk": 512,
+        "x_range": [-1.0, 1.0], "y_range": [-1.0, 1.0],
+        "z_range": [-1.0, 1.0],
+    })
+
+    for use_voxel in (False, True):
+        cfg = load_config(cli_args=list(TINY))
+        cfg.model.use_voxel_embedding = use_voxel
+        settings = RenderSettings.from_config(cfg, is_eval=True)
+        voxel_ctx = None
+        features = None
+        if use_voxel:
+            pts = np.random.RandomState(0).rand(500, 3) * 2.4 - 1.2
+            features, topo, static = vg.build_voxel_grid(
+                pts, [0, 0, 0], 1.0, 0.3, 3, 24, 6, 20000,
+                key=jax.random.PRNGKey(4),
+            )
+        params = init_params(jax.random.PRNGKey(0), settings, cfg.model,
+                             features)
+        if use_voxel:
+            voxel_ctx = (params["voxel_features"], topo, static)
+
+        pallas = dataclasses.replace(
+            settings, use_pallas=True, pallas_interpret=True,
+            pallas_dtype="float32",
+        )
+        for obj_id in (0, 3):
+            ref = extract_mesh.extract_sigma_grid(
+                params, settings, voxel_ctx, grid_conf, obj_id=obj_id)
+            got = extract_mesh.extract_sigma_grid(
+                params, pallas, voxel_ctx, grid_conf, obj_id=obj_id)
+            np.testing.assert_allclose(
+                got, ref, rtol=2e-4, atol=2e-4,
+                err_msg=f"use_voxel={use_voxel} obj_id={obj_id}",
+            )

@@ -37,7 +37,14 @@ SCRIPT_CONF = {
 
 
 def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
-    """Dense sigma query of the fine model over the configured grid."""
+    """Dense sigma query of the fine model over the configured grid.
+
+    With settings.use_pallas the query runs through the fused sigma-only
+    kernel (ops/pallas_mlp.fused_sigma_eval — the same trunk machinery as
+    the eval coarse pass), with the voxel gather dispatched as its OWN
+    program before the kernel program (a gather sharing an XLA program
+    with a large-VMEM pallas call runs 2-4× slower — CLAUDE.md round 3).
+    Otherwise the plain XLA path (CPU/tests)."""
     import jax
     import jax.numpy as jnp
     from object_nerf_tpu.models.mlp import scene_forward, instance_forward
@@ -55,41 +62,102 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
     mlp = params.get("fine", params["coarse"])
     chunk = int(config.chunk)
 
-    @jax.jit
-    def sigma_fn(pts):
-        emb, obj_voxel = _embed_points(pts, settings, voxel_ctx)
-        if obj_id > 0:
-            codes = lookup_codes(
-                params["code_library"],
-                jnp.full((pts.shape[0],), obj_id, jnp.int32),
+    if settings.use_pallas:
+        from object_nerf_tpu.ops.pallas_mlp import fused_sigma_eval
+
+        S = 64  # points per pseudo-row (the kernel's sample axis)
+        kdtype = jnp.dtype(settings.pallas_dtype).type
+
+        gather_fn = None
+        if voxel_ctx is not None:
+            from object_nerf_tpu.models.voxel_grid import voxel_lookup_raw
+
+            features, topo, static = voxel_ctx
+
+            @jax.jit
+            def gather_fn(pts):
+                raw, _ = voxel_lookup_raw(features, topo, static, pts)
+                return raw
+
+        @jax.jit
+        def kernel_fn(pts, voxel_raw, codes):
+            return fused_sigma_eval(
+                mlp, settings.mlp, pts, voxel_raw=voxel_raw,
+                obj_codes=codes,
+                branch="instance" if obj_id > 0 else "scene",
+                samples_per_row=S, dtype=kdtype,
+                interpret=settings.pallas_interpret,
             )
-            s, _ = instance_forward(
-                mlp, settings.mlp, emb, codes, obj_voxel, None, sigma_only=True
-            )
-        else:
-            s, _ = scene_forward(mlp, settings.mlp, emb, None, sigma_only=True)
-        return s
+
+        def sigma_fn(pts):
+            m = pts.shape[0]
+            pad = (-m) % S
+            if pad:
+                pts = jnp.concatenate(
+                    [pts, jnp.zeros((pad, 3), pts.dtype)]
+                )
+            codes = None
+            if obj_id > 0:
+                codes = lookup_codes(
+                    params["code_library"],
+                    jnp.full((pts.shape[0] // S,), obj_id, jnp.int32),
+                )
+            raw = gather_fn(pts) if gather_fn is not None else None
+            return kernel_fn(pts, raw, codes)[:m]
+    else:
+
+        @jax.jit
+        def sigma_fn(pts):
+            emb, obj_voxel = _embed_points(pts, settings, voxel_ctx)
+            if obj_id > 0:
+                codes = lookup_codes(
+                    params["code_library"],
+                    jnp.full((pts.shape[0],), obj_id, jnp.int32),
+                )
+                s, _ = instance_forward(
+                    mlp, settings.mlp, emb, codes, obj_voxel, None,
+                    sigma_only=True
+                )
+            else:
+                s, _ = scene_forward(mlp, settings.mlp, emb, None,
+                                     sigma_only=True)
+            return s
 
     sigma = np.empty((n, n, n), np.float32)
-    # process x-slabs; build pts per slab to bound host memory
+    # process x-slabs; build pts per slab to bound host memory. Dispatches
+    # are PIPELINED with a lagged fetch queue: on axon a synchronous fetch
+    # costs ~25 ms of tunnel round-trip per program (CLAUDE.md round 3) —
+    # at 512³/64k that would be 2048 sync points.
+    from collections import deque
+
     yy, zz = np.meshgrid(ys, zs, indexing="ij")
     plane = np.stack([yy.reshape(-1), zz.reshape(-1)], -1)  # (n*n, 2)
+    pending = deque()  # (slab_i, device_array, pad)
+    done = [[] for _ in range(n)]
+
+    def drain(limit):
+        while len(pending) > limit:
+            i, dev, pad = pending.popleft()
+            s = np.asarray(dev)
+            done[i].append(s[: len(s) - pad] if pad else s)
+
     for i, xv in enumerate(xs):
         pts = np.concatenate(
             [np.full((n * n, 1), xv, np.float32), plane.astype(np.float32)], -1
         )
-        out = []
         for j in range(0, len(pts), chunk):
             seg = pts[j : j + chunk]
             pad = 0
             if len(seg) < chunk and len(pts) > chunk:
                 pad = chunk - len(seg)
                 seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
-            s = np.asarray(sigma_fn(jnp.asarray(seg)))
-            out.append(s[: len(s) - pad] if pad else s)
-        sigma[i] = np.concatenate(out).reshape(n, n)
+            pending.append((i, sigma_fn(jnp.asarray(seg)), pad))
+            drain(16)
         if i % 32 == 0:
             print(f"\rsigma grid {i}/{n}", end="", flush=True)
+    drain(0)
+    for i in range(n):
+        sigma[i] = np.concatenate(done[i]).reshape(n, n)
     print()
     return np.maximum(sigma, 0.0)
 
@@ -108,7 +176,22 @@ def main(argv):
     config.merge({k: v for k, v in SCRIPT_CONF.items() if k not in config})
     assert config.ckpt_path, "ckpt_path not set"
 
-    settings = RenderSettings.from_config(config, is_eval=True)
+    # tpu.* hooks, same contract as ObjectNeRFSystem / EditableRenderer:
+    # fused sigma-only kernel on real TPUs, XLA path elsewhere
+    import jax
+
+    tpu_cfg = dict(config.get("tpu", {}) or {})
+    use_pallas = tpu_cfg.get("use_pallas", "auto")
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    pallas_kw = dict(
+        pallas_interpret=bool(tpu_cfg.get("pallas_interpret", False))
+    )
+    if pallas_kw["pallas_interpret"]:
+        pallas_kw["pallas_dtype"] = "float32"
+    settings = RenderSettings.from_config(
+        config, is_eval=True, use_pallas=bool(use_pallas), **pallas_kw
+    )
     restored = load_any_checkpoint(config.ckpt_path, config.model)
     params = restored["params"]
 
@@ -130,12 +213,19 @@ def main(argv):
             )
             voxel_ctx = (params["voxel_features"], topo, static)
 
-    obj_id = int(config.obj_id)
-    sigma = extract_sigma_grid(params, settings, voxel_ctx, config, obj_id)
+    import time
 
-    print("Extracting mesh ...")
+    obj_id = int(config.obj_id)
+    t0 = time.perf_counter()
+    sigma = extract_sigma_grid(params, settings, voxel_ctx, config, obj_id)
+    t_sigma = time.perf_counter() - t0
+
+    print(f"Extracting mesh ... (sigma grid {t_sigma:.1f}s, "
+          f"pallas={settings.use_pallas})")
+    t0 = time.perf_counter()
     verts, faces = marching_tetrahedra(sigma, float(config.sigma_threshold))
-    print(f"{len(verts)} vertices, {len(faces)} faces")
+    t_march = time.perf_counter() - t0
+    print(f"{len(verts)} vertices, {len(faces)} faces ({t_march:.1f}s)")
     if len(verts) == 0:
         print("empty mesh — lower sigma_threshold?")
         return
@@ -153,8 +243,10 @@ def main(argv):
     out *= float(config.dataset_extra.scale_factor)
 
     if config.keep_largest_component:
+        t0 = time.perf_counter()
         out, faces = largest_connected_component(out, faces)
-        print(f"largest component: {len(out)} vertices, {len(faces)} faces")
+        print(f"largest component: {len(out)} vertices, {len(faces)} faces "
+              f"({time.perf_counter() - t0:.1f}s)")
 
     colors = None
     if config.predict_color:
