@@ -159,23 +159,38 @@ def marching_tetrahedra(volume: np.ndarray, level: float, slab: int = 32):
 
 
 def largest_connected_component(verts, faces):
-    """Keep the largest vertex-connected component (extract_mesh.py:172-178)."""
+    """Keep the largest vertex-connected component (extract_mesh.py:172-178).
+
+    scipy's sparse BFS when available (a 512³ extraction yields millions of
+    faces — the union-find fallback's per-face Python loop would dominate
+    the whole pipeline there); pure-numpy union-find otherwise."""
     n = len(verts)
-    parent = np.arange(n)
+    try:
+        from scipy import sparse
+        from scipy.sparse.csgraph import connected_components
 
-    def find(a):
-        root = a
-        while parent[root] != root:
-            root = parent[root]
-        while parent[a] != root:
-            parent[a], a = root, parent[a]
-        return root
+        rows = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+        cols = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
+        adj = sparse.coo_matrix(
+            (np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n)
+        )
+        _, roots = connected_components(adj, directed=False)
+    except ImportError:
+        parent = np.arange(n)
 
-    for f in faces:
-        ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
-        parent[rb] = ra
-        parent[rc] = ra
-    roots = np.array([find(i) for i in range(n)])
+        def find(a):
+            root = a
+            while parent[root] != root:
+                root = parent[root]
+            while parent[a] != root:
+                parent[a], a = root, parent[a]
+            return root
+
+        for f in faces:
+            ra, rb, rc = find(f[0]), find(f[1]), find(f[2])
+            parent[rb] = ra
+            parent[rc] = ra
+        roots = np.array([find(i) for i in range(n)])
     vals, counts = np.unique(roots, return_counts=True)
     keep_root = vals[np.argmax(counts)]
     keep_mask = roots == keep_root
