@@ -44,7 +44,13 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
     the eval coarse pass), with the voxel gather dispatched as its OWN
     program before the kernel program (a gather sharing an XLA program
     with a large-VMEM pallas call runs 2-4× slower — CLAUDE.md round 3).
-    Otherwise the plain XLA path (CPU/tests)."""
+    Otherwise the plain XLA path (CPU/tests).
+
+    The grid points are synthesized ON DEVICE from each chunk's scalar
+    offset (x outer / y mid / z inner, matching the flat reshape below):
+    at 512³ the sweep is tunnel-bound, not TPU-bound (~64 ms/chunk of RPC
+    overhead vs ~1 ms of kernel — BASELINE.md), and uploading (chunk, 3)
+    host-built points per chunk was 75% of the bytes on the wire."""
     import jax
     import jax.numpy as jnp
     from object_nerf_tpu.models.mlp import scene_forward, instance_forward
@@ -52,15 +58,33 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
     from object_nerf_tpu.render.renderer import _embed_points
 
     n = int(config.N_grid)
+    n3 = n * n * n
     xmin, xmax = config.x_range
     ymin, ymax = config.y_range
     zmin, zmax = config.z_range
-    xs = np.linspace(xmin, xmax, n, dtype=np.float32)
-    ys = np.linspace(ymin, ymax, n, dtype=np.float32)
-    zs = np.linspace(zmin, zmax, n, dtype=np.float32)
 
     mlp = params.get("fine", params["coarse"])
-    chunk = int(config.chunk)
+    chunk = min(int(config.chunk), n3)
+    if settings.use_pallas:
+        chunk = ((chunk + 63) // 64) * 64  # kernel pseudo-rows are 64 wide
+
+    def synth(off):
+        # linspace-equivalent: axis value = min + index * step, f32
+        k = jnp.minimum(off + jnp.arange(chunk, dtype=jnp.int32), n3 - 1)
+        i, rem = k // (n * n), k % (n * n)
+        return jnp.stack(
+            [xmin + i * ((xmax - xmin) / (n - 1)),
+             ymin + (rem // n) * ((ymax - ymin) / (n - 1)),
+             zmin + (rem % n) * ((zmax - zmin) / (n - 1))], -1
+        ).astype(jnp.float32)
+
+    codes = None
+    if obj_id > 0:
+        n_code_rows = chunk if not settings.use_pallas else chunk // 64
+        codes = lookup_codes(
+            params["code_library"],
+            jnp.full((n_code_rows,), obj_id, jnp.int32),
+        )
 
     if settings.use_pallas:
         from object_nerf_tpu.ops.pallas_mlp import fused_sigma_eval
@@ -68,19 +92,26 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
         S = 64  # points per pseudo-row (the kernel's sample axis)
         kdtype = jnp.dtype(settings.pallas_dtype).type
 
-        gather_fn = None
         if voxel_ctx is not None:
             from object_nerf_tpu.models.voxel_grid import voxel_lookup_raw
 
             features, topo, static = voxel_ctx
 
+            # point synthesis + corner-table gather share one kernel-free
+            # XLA program; the pallas kernel gets its own program
             @jax.jit
-            def gather_fn(pts):
+            def stage_fn(off):
+                pts = synth(off)
                 raw, _ = voxel_lookup_raw(features, topo, static, pts)
-                return raw
+                return pts, raw
+        else:
+
+            @jax.jit
+            def stage_fn(off):
+                return synth(off), None
 
         @jax.jit
-        def kernel_fn(pts, voxel_raw, codes):
+        def kernel_fn(pts, voxel_raw):
             return fused_sigma_eval(
                 mlp, settings.mlp, pts, voxel_raw=voxel_raw,
                 obj_codes=codes,
@@ -89,31 +120,14 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
                 interpret=settings.pallas_interpret,
             )
 
-        def sigma_fn(pts):
-            m = pts.shape[0]
-            pad = (-m) % S
-            if pad:
-                pts = jnp.concatenate(
-                    [pts, jnp.zeros((pad, 3), pts.dtype)]
-                )
-            codes = None
-            if obj_id > 0:
-                codes = lookup_codes(
-                    params["code_library"],
-                    jnp.full((pts.shape[0] // S,), obj_id, jnp.int32),
-                )
-            raw = gather_fn(pts) if gather_fn is not None else None
-            return kernel_fn(pts, raw, codes)[:m]
+        def sigma_fn(off):
+            return kernel_fn(*stage_fn(off))
     else:
 
         @jax.jit
-        def sigma_fn(pts):
-            emb, obj_voxel = _embed_points(pts, settings, voxel_ctx)
+        def sigma_fn(off):
+            emb, obj_voxel = _embed_points(synth(off), settings, voxel_ctx)
             if obj_id > 0:
-                codes = lookup_codes(
-                    params["code_library"],
-                    jnp.full((pts.shape[0],), obj_id, jnp.int32),
-                )
                 s, _ = instance_forward(
                     mlp, settings.mlp, emb, codes, obj_voxel, None,
                     sigma_only=True
@@ -123,43 +137,28 @@ def extract_sigma_grid(params, settings, voxel_ctx, config, obj_id=0):
                                      sigma_only=True)
             return s
 
-    sigma = np.empty((n, n, n), np.float32)
-    # process x-slabs; build pts per slab to bound host memory. Dispatches
-    # are PIPELINED with a lagged fetch queue: on axon a synchronous fetch
-    # costs ~25 ms of tunnel round-trip per program (CLAUDE.md round 3) —
-    # at 512³/64k that would be 2048 sync points.
+    sigma = np.empty(n3, np.float32)
+    # Dispatches are PIPELINED with a lagged fetch queue: on axon a
+    # synchronous fetch costs ~25 ms of tunnel round-trip per program
+    # (CLAUDE.md round 3) — at 512³/64k that would be 2048 sync points.
     from collections import deque
 
-    yy, zz = np.meshgrid(ys, zs, indexing="ij")
-    plane = np.stack([yy.reshape(-1), zz.reshape(-1)], -1)  # (n*n, 2)
-    pending = deque()  # (slab_i, device_array, pad)
-    done = [[] for _ in range(n)]
+    pending = deque()  # (offset, device_array)
 
     def drain(limit):
         while len(pending) > limit:
-            i, dev, pad = pending.popleft()
-            s = np.asarray(dev)
-            done[i].append(s[: len(s) - pad] if pad else s)
+            off, dev = pending.popleft()
+            m = min(chunk, n3 - off)
+            sigma[off : off + m] = np.asarray(dev)[:m]
 
-    for i, xv in enumerate(xs):
-        pts = np.concatenate(
-            [np.full((n * n, 1), xv, np.float32), plane.astype(np.float32)], -1
-        )
-        for j in range(0, len(pts), chunk):
-            seg = pts[j : j + chunk]
-            pad = 0
-            if len(seg) < chunk and len(pts) > chunk:
-                pad = chunk - len(seg)
-                seg = np.concatenate([seg, np.zeros((pad, 3), np.float32)])
-            pending.append((i, sigma_fn(jnp.asarray(seg)), pad))
-            drain(16)
-        if i % 32 == 0:
-            print(f"\rsigma grid {i}/{n}", end="", flush=True)
+    for ci, off in enumerate(range(0, n3, chunk)):
+        pending.append((off, sigma_fn(off)))
+        drain(16)
+        if ci % 128 == 0:
+            print(f"\rsigma grid {off}/{n3}", end="", flush=True)
     drain(0)
-    for i in range(n):
-        sigma[i] = np.concatenate(done[i]).reshape(n, n)
     print()
-    return np.maximum(sigma, 0.0)
+    return np.maximum(sigma.reshape(n, n, n), 0.0)
 
 
 def main(argv):
