@@ -65,6 +65,47 @@ def test_extract_mesh_cli(tmp_path, capsys):
     assert verts[:, 0].min() >= -1.2 - 1e-5 and verts[:, 0].max() <= 1.2 + 1e-5
 
 
+def test_sigma_grid_matches_host_built_points():
+    """Ordering oracle for the on-device point synthesis: the sigma grid
+    must equal the same forward evaluated on host-built (x outer / y mid /
+    z inner) grid points — catches any common-mode synthesis bug the
+    pallas-vs-xla parity test can't see (both routes share synth). Uses a
+    chunk that does NOT divide n³ to cover the tail-clamp path."""
+    import jax
+    import jax.numpy as jnp
+    from object_nerf_tpu.config import Config, load_config
+    from object_nerf_tpu.models.mlp import scene_forward
+    from object_nerf_tpu.render.renderer import RenderSettings, _embed_points
+    from object_nerf_tpu.train.system import init_params
+
+    import extract_mesh
+
+    n = 10
+    grid_conf = Config({
+        "N_grid": n, "chunk": 192,  # 1000 = 5*192 + 40 tail
+        "x_range": [-1.0, 0.8], "y_range": [-0.5, 1.1],
+        "z_range": [0.0, 0.9],
+    })
+    cfg = load_config(cli_args=list(TINY))
+    settings = RenderSettings.from_config(cfg, is_eval=True)
+    params = init_params(jax.random.PRNGKey(0), settings, cfg.model, None)
+
+    sigma = extract_mesh.extract_sigma_grid(
+        params, settings, None, grid_conf, obj_id=0)
+
+    # host-built points with the same index*step f32 arithmetic
+    idx = np.arange(n, dtype=np.float32)
+    axes = [lo + idx * np.float32((hi - lo) / (n - 1))
+            for lo, hi in (grid_conf.x_range, grid_conf.y_range,
+                           grid_conf.z_range)]
+    pts = np.stack(np.meshgrid(*axes, indexing="ij"), -1).reshape(-1, 3)
+    emb, _ = _embed_points(jnp.asarray(pts), settings, None)
+    ref, _ = scene_forward(params["fine"], settings.mlp, emb, None,
+                           sigma_only=True)
+    ref = np.maximum(np.asarray(ref), 0.0).reshape(n, n, n)
+    np.testing.assert_allclose(sigma, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_sigma_grid_pallas_matches_xla(tmp_path):
     """extract_sigma_grid's fused-kernel route (interpret mode) matches the
     XLA route — classical scene branch, voxel-conditioned scene branch, and

@@ -172,6 +172,7 @@ def main(argv):
     from object_nerf_tpu.data.ply_io import write_ply
 
     config = load_config(cli_args=argv)
+    user_set_chunk = "chunk" in config
     config.merge({k: v for k, v in SCRIPT_CONF.items() if k not in config})
     assert config.ckpt_path, "ckpt_path not set"
 
@@ -213,6 +214,12 @@ def main(argv):
             voxel_ctx = (params["voxel_features"], topo, static)
 
     import time
+
+    if settings.use_pallas and not user_set_chunk:
+        # the sweep is tunnel-RPC-bound, not TPU-bound: 262144-point chunks
+        # (one 512² slab per program) run the 512³ grid 2.1× faster than
+        # the reference's 64k default (BASELINE.md 512³ section)
+        config.merge(dict(chunk=262144))
 
     obj_id = int(config.obj_id)
     t0 = time.perf_counter()
