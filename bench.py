@@ -289,22 +289,42 @@ def _bench_edit_render(cfg):
 
     rays_bg = make_rays(0, 0.05, 2.4)
     rays_ob = make_rays(1, 0.6, 1.4, hit_frac=0.35)
+
+    # hit compaction, exactly as EditableRenderer._render_multi dispatches:
+    # object-hit rays first, all-miss chunks run the background-only
+    # program (render/multi.compact_hit_order — round-5 lever)
+    from object_nerf_tpu.render.multi import compact_hit_order
+
+    plan = compact_hit_order([rays_bg, rays_ob], ids, chunk)
+    perm, n_mixed = plan if plan is not None else (np.arange(n), -(-n // chunk))
+    rays_bg, rays_ob = rays_bg[perm], rays_ob[perm]
     stacks = []
-    for i in range(0, n, chunk):
-        sl = [r[i : i + chunk] for r in (rays_bg, rays_ob)]
+    for ci, i in enumerate(range(0, n, chunk)):
+        sets = (rays_bg, rays_ob) if ci < n_mixed else (rays_bg,)
+        sl = [r[i : i + chunk] for r in sets]
         if sl[0].shape[0] < chunk:
             p = chunk - sl[0].shape[0]
             sl = [np.concatenate([r, np.repeat(r[-1:], p, 0)]) for r in sl]
         stacks.append(jax.device_put(jnp.stack([jnp.asarray(x) for x in sl])))
+    print(
+        f"[bench] edit chunks: {n_mixed} mixed (K={len(ids)}) + "
+        f"{len(stacks) - n_mixed} background-only of {len(stacks)}",
+        file=sys.stderr,
+    )
 
-    split_fn = make_multi_eval_stages(settings, ids, voxel_static=static)
+    split_full = make_multi_eval_stages(settings, ids, voxel_static=static)
+    split_bg = make_multi_eval_stages(settings, (0,), voxel_static=static)
 
     def frame():
-        outs = [split_fn(params, s, voxel_topo=topo, ct=ct) for s in stacks]
+        outs = [
+            (split_full if ci < n_mixed else split_bg)(
+                params, s, voxel_topo=topo, ct=ct)
+            for ci, s in enumerate(stacks)
+        ]
         return float(np.asarray(outs[-1]["rgb_fine"][0].sum()))
 
     dt = _time_frames(frame)
-    programs = 2 * len(ids) + 3  # prep, K coarse, merge, K fine, final
+    programs = 2 * len(ids) + 3  # prep, K coarse, merge, K fine, final (mixed)
     return n / dt, dt * 1e3, programs
 
 

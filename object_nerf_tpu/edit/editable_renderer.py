@@ -36,7 +36,9 @@ from ..data.ray_utils import get_ray_directions, get_rays
 from ..data.geo_utils import center_pose_from_avg
 from ..parallel.mesh import make_mesh, replicate
 from ..render.renderer import RenderSettings
-from ..render.multi import render_rays_multi, make_multi_eval_stages
+from ..render.multi import (
+    render_rays_multi, make_multi_eval_stages, compact_hit_order,
+)
 from .bbox import BBoxRayHelper, boxes_to_arrays
 
 
@@ -96,6 +98,9 @@ class EditableRenderer:
         use_pallas = tpu_cfg.get("use_pallas", "auto")
         if use_pallas == "auto":
             use_pallas = jax.default_backend() == "tpu"
+        # all-miss chunks run the background-only program (render/multi.
+        # compact_hit_order); off by default only for bit-exact-dense needs
+        self.compact_rays = bool(tpu_cfg.get("compact_edit_rays", True))
         pallas_kw = dict(
             pallas_interpret=bool(tpu_cfg.get("pallas_interpret", False))
         )
@@ -285,6 +290,33 @@ class EditableRenderer:
         _, topo, _ = self.voxel_ctx
         return self._ct_fn(self.params["voxel_features"], topo)
 
+    def _get_chunk_fn(self, obj_ids, settings, use_split, voxel_static,
+                      white_back, chunk, has_skip):
+        """Per-(edit-configuration, chunk-kind) compiled chunk renderer."""
+        sig = (tuple(obj_ids), white_back, chunk, has_skip, use_split)
+        if sig not in self._chunk_fns:
+            if use_split:
+                self._chunk_fns[sig] = make_multi_eval_stages(
+                    settings, tuple(obj_ids), voxel_static=voxel_static,
+                )
+            else:
+                ids_t = tuple(obj_ids)
+
+                def fn(params, rays_stack, key, voxel_features, sboxes):
+                    voxel_ctx = None
+                    if self.voxel_ctx is not None:
+                        _, topo, static = self.voxel_ctx
+                        voxel_ctx = (voxel_features, topo, static)
+                    out = render_rays_multi(
+                        params, list(rays_stack), ids_t, key,
+                        settings, voxel_ctx=voxel_ctx, skip_boxes=sboxes,
+                    )
+                    typ = "fine" if settings.N_importance > 0 else "coarse"
+                    return {k: out[k] for k in
+                            (f"rgb_{typ}", f"depth_{typ}", f"opacity_{typ}")}
+                self._chunk_fns[sig] = jax.jit(fn)
+        return self._chunk_fns[sig]
+
     def _render_multi(self, rays_list, obj_ids, white_back, chunk):
         n = rays_list[0].shape[0]
         skip_helpers = self.get_skipping_bbox_helper()
@@ -312,28 +344,16 @@ class EditableRenderer:
             _, voxel_topo, voxel_static = self.voxel_ctx
             use_split = use_split and vg._dense_path_ok(voxel_static)
 
-        sig = (tuple(obj_ids), white_back, chunk, skip_boxes is not None,
-               use_split)
-        if sig not in self._chunk_fns:
-            if use_split:
-                self._chunk_fns[sig] = make_multi_eval_stages(
-                    settings, tuple(obj_ids), voxel_static=voxel_static,
-                )
-            else:
-                def fn(params, rays_stack, key, voxel_features, sboxes):
-                    voxel_ctx = None
-                    if self.voxel_ctx is not None:
-                        _, topo, static = self.voxel_ctx
-                        voxel_ctx = (voxel_features, topo, static)
-                    out = render_rays_multi(
-                        params, list(rays_stack), tuple(obj_ids), key,
-                        settings, voxel_ctx=voxel_ctx, skip_boxes=sboxes,
-                    )
-                    typ = "fine" if settings.N_importance > 0 else "coarse"
-                    return {k: out[k] for k in
-                            (f"rgb_{typ}", f"depth_{typ}", f"opacity_{typ}")}
-                self._chunk_fns[sig] = jax.jit(fn)
-        fn = self._chunk_fns[sig]
+        # hit compaction: reorder pixels so object-bbox hits are contiguous;
+        # all-miss chunks then run the background-only program (~1e-8
+        # deviation from the dense composite — render/multi.compact_hit_order)
+        plan = (
+            compact_hit_order(rays_list, obj_ids, chunk)
+            if self.compact_rays else None
+        )
+        if plan is not None:
+            perm, n_mixed = plan
+            rays_list = [np.asarray(r)[perm] for r in rays_list]
 
         ct = None
         if use_split and self.voxel_ctx is not None:
@@ -344,8 +364,17 @@ class EditableRenderer:
             else jnp.zeros((1, 1))
         )
         outs = []
-        for i in range(0, n, chunk):
-            chunk_rays = [jnp.asarray(r[i : i + chunk]) for r in rays_list]
+        for ci, i in enumerate(range(0, n, chunk)):
+            mixed = plan is None or ci < plan[1]
+            ids_c = list(obj_ids) if mixed else [0]
+            fn = self._get_chunk_fn(
+                ids_c, settings, use_split, voxel_static,
+                white_back, chunk, skip_boxes is not None,
+            )
+            chunk_rays = [
+                jnp.asarray(r[i : i + chunk])
+                for r in (rays_list if mixed else rays_list[:1])
+            ]
             # pad the tail chunk to static shape
             pad = chunk - chunk_rays[0].shape[0]
             if pad > 0:
@@ -371,6 +400,13 @@ class EditableRenderer:
             k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]
             for k in outs[0]
         }
+        if plan is not None:
+            # scatter back to pixel order: row j carries ray perm[j]
+            perm = plan[0]
+            for k, v in merged.items():
+                unperm = np.empty_like(v)
+                unperm[perm] = v
+                merged[k] = unperm
         return merged
 
     def render_edit(

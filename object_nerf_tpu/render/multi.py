@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,51 @@ from ..ops.sampling import stratified_sample, sample_pdf
 from .renderer import RenderSettings, VoxelCtx, _embed_points
 
 MUTE_SIGMA = -1e5
+
+
+def compact_hit_order(rays_list, obj_instance_ids, chunk: int):
+    """Host-side chunk planner: skip object evaluation for all-miss chunks.
+
+    The reference evaluates every object ray set densely — rays whose bbox
+    intersection missed (near=far=0) still run the full coarse+fine MLP and
+    are only muted at composite time (multi_rendering.py:40-41,83,92). In a
+    demo frame the edited object covers a small fraction of pixels, so most
+    of the object sets' kernel/gather work composites to nothing.
+
+    TPU-first fix: static shapes forbid per-chunk ray counts, but the pixel
+    ORDER within a frame is free — rays are embarrassingly parallel and the
+    caller scatters results back by pixel index anyway. Return a stable
+    permutation that puts rays hit by ≥1 object first, plus the number of
+    leading chunks that contain any hit. Those chunks run the full K-object
+    program; every later chunk is all-miss and can run the background-only
+    program (K=1: no object kernels, no object voxel gathers, half-width
+    sort-merge) — the same two compiled configurations for every frame.
+
+    Muted samples are not EXACTLY free in the composite (their alpha==0
+    rows still contribute the reference's `+1e-10` transmittance epsilon,
+    rendering.py:160, and uniformly rescale the pdf weights), so dropping
+    them changes the output at the ~1e-8 level — far below the 1e-6 parity
+    budget, and documented at the call sites. Callers that need the
+    bit-exact dense semantics pass compaction off.
+
+    Returns None when compaction does not apply (no background set leading,
+    duplicate/zero object ids misplaced, or every ray hits); else
+    (perm (N,), n_mixed).
+    """
+    ids = tuple(int(i) for i in obj_instance_ids)
+    if len(ids) < 2 or ids[0] != 0 or 0 in ids[1:]:
+        return None
+    n = int(rays_list[0].shape[0])
+    any_hit = np.zeros(n, bool)
+    for rays, oid in zip(rays_list, ids):
+        if oid != 0:
+            any_hit |= np.asarray(rays[:, 7]) > 0
+    n_hit = int(any_hit.sum())
+    if n_hit == n:
+        return None
+    perm = np.argsort(~any_hit, kind="stable")
+    n_mixed = -(-n_hit // chunk)  # ceil
+    return perm, n_mixed
 
 
 def _in_any_box(xyz, box_affines, box_bounds, scale_factor):
@@ -293,9 +339,17 @@ def make_multi_eval_stages(
     is 2K+3 programs (prep, K coarse kernels, merge, K fine kernels,
     final composite), overlapped by the caller's async chunk pipeline.
 
+    When a fine pass follows (N_importance > 0), the coarse kernels are
+    SIGMA-ONLY (`ops.pallas_mlp.fused_sigma_eval`): the joint coarse
+    composite feeds nothing but the pdf weights, so the RGB head, the
+    dir-PE operand and the coarse rgb sort-gather are dropped — the same
+    trick the single-scene eval coarse pass uses (measured there: ~5.5 ms
+    sigma-only vs ~13 ms full kernel per 7680-ray chunk).
+
     Math is bit-identical to `render_rays_multi` under eval settings
     (perturb=0, noise_std=0): the same mute/composite/pdf helpers run on
-    the same inputs, only program boundaries move.
+    the same inputs (the rgb-free weight chain keeps _composite_multi's
+    exact op order), only program boundaries move.
 
     Returns render_chunk(params, rays_stack (K,N,8 — or 10 with the
     bbox-mask interval channels, see render_rays_multi), voxel_topo, ct,
@@ -305,7 +359,7 @@ def make_multi_eval_stages(
     (models/voxel_grid.make_corner_table, built once per frame).
     """
     from ..models.voxel_grid import voxel_lookup_dense
-    from ..ops.pallas_mlp import fused_mlp_eval
+    from ..ops.pallas_mlp import fused_mlp_eval, fused_sigma_eval
 
     if settings.perturb != 0 or settings.noise_std != 0:
         # a bare assert would vanish under `python -O` and silently render
@@ -377,14 +431,45 @@ def make_multi_eval_stages(
         )
         return sigma, rgb
 
-    def run_kernels(params, typ, rays_stack, per_obj, codes_list):
+    def _sigma_kernel_stage(branch):
+        @jax.jit
+        def stage(mlp_params, xyz, vox, codes):
+            n, s, _ = xyz.shape
+            sig = fused_sigma_eval(
+                mlp_params, mlp, xyz.reshape(-1, 3),
+                voxel_raw=None if vox is None else vox.reshape(n * s, -1),
+                obj_codes=codes, branch=branch, samples_per_row=s,
+                dtype=kdtype, interpret=settings.pallas_interpret,
+                mesh=settings.shard_mesh,
+            )
+            return sig.reshape(n, s)
+        return stage
+
+    # coarse pass when a fine pass follows: the joint coarse composite
+    # feeds ONLY the pdf weights (its rgb/depth maps are discarded), so
+    # the coarse kernels drop the dir-PE operand and the RGB head — the
+    # same sigma-only trick the single-scene eval coarse pass uses
+    # (renderer.make_fused_eval_stages / ops.fused_coarse_weights class)
+    stage_scene_sigma = _sigma_kernel_stage("scene")
+    stage_inst_sigma = _sigma_kernel_stage("instance")
+
+    def run_kernels(params, typ, rays_stack, per_obj, codes_list,
+                    sigma_only=False):
         """One kernel-only program per ray set (scene or instance branch —
         multi_rendering.py:63-72 branch selection). codes_list comes from
-        stage_prep and is shared by the coarse AND fine passes."""
+        stage_prep and is shared by the coarse AND fine passes. With
+        sigma_only, outputs are (sigma, None)."""
         outs = []
         for i in range(n_obj):
             _, xyz, vox, _, _ = per_obj[i]
-            if ids[i] > 0:
+            if sigma_only:
+                if ids[i] > 0:
+                    sig = stage_inst_sigma(params[typ], xyz, vox,
+                                           codes_list[i])
+                else:
+                    sig = stage_scene_sigma(params[typ], xyz, vox, None)
+                outs.append((sig, None))
+            elif ids[i] > 0:
                 outs.append(stage_inst_kernel(
                     params[typ], rays_stack[i], xyz, vox, codes_list[i]))
             else:
@@ -400,20 +485,39 @@ def make_multi_eval_stages(
             rgb_list.append(rgb)
         return rgb_list, sigma_list
 
+    def _coarse_pdf_weights(z_list, sigma_list):
+        """Joint-composite weights + sort permutation, rgb-free: the coarse
+        pass only feeds the pdf resampler here, so this mirrors
+        _composite_multi's weight chain (same op order — bit-identical
+        weights) without the discarded rgb/depth/opacity maps."""
+        z = jnp.concatenate(z_list, axis=1)
+        sigma = jnp.concatenate(sigma_list, axis=1)
+        idx = jnp.argsort(z, axis=-1)
+        z = jnp.take_along_axis(z, idx, axis=-1)
+        sigma = jnp.take_along_axis(sigma, idx, axis=-1)
+        deltas = z[:, 1:] - z[:, :-1]
+        deltas = jnp.concatenate([deltas, jnp.zeros_like(deltas[:, :1])], -1)
+        alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigma))
+        trans = jnp.cumprod(1.0 - alphas + 1e-10, axis=-1)
+        trans = jnp.concatenate(
+            [jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1
+        )
+        return alphas * trans, idx
+
     @jax.jit
-    def stage_merge(rays_stack, z_tuple, inb_tuple, sig_rgb, voxel_topo,
+    def stage_merge(rays_stack, z_tuple, inb_tuple, sig_tuple, voxel_topo,
                     ct, skip_boxes):
         """Kernel-free: joint coarse composite → per-object pdf weights →
-        fine sample positions, gathers and masks."""
+        fine sample positions, gathers and masks. Consumes the sigma-only
+        coarse kernel outputs (sig_tuple: K × (N, S))."""
         z_list = list(z_tuple)
-        rgb_list, sigma_list = _muted_lists(z_list, sig_rgb, list(inb_tuple))
-        results: Dict[str, jnp.ndarray] = {}
-        _composite_multi(
-            results, "coarse", z_list, rgb_list, sigma_list,
-            None, 0.0, settings.white_back, keep_sort_idx=True,
-        )
-        inv = jnp.argsort(results["sort_idx_coarse"], axis=-1)
-        w_orig = jnp.take_along_axis(results["weights_coarse"], inv, axis=-1)
+        sigma_list = [
+            _mute_sigma(sig_tuple[i], z_list[i], inb_tuple[i])
+            for i in range(n_obj)
+        ]
+        weights, idx = _coarse_pdf_weights(z_list, sigma_list)
+        inv = jnp.argsort(idx, axis=-1)
+        w_orig = jnp.take_along_axis(weights, inv, axis=-1)
         out = []
         for i in range(n_obj):
             w_i = w_orig[:, i * n_samples : (i + 1) * n_samples]
@@ -456,11 +560,14 @@ def make_multi_eval_stages(
                      skip_boxes=None):
         prep = stage_prep(params, rays_stack, voxel_topo, ct, skip_boxes)
         codes_list = [p[3] for p in prep]
-        coarse = run_kernels(params, "coarse", rays_stack, prep, codes_list)
-        if settings.N_importance > 0:
+        fine_follows = settings.N_importance > 0
+        coarse = run_kernels(params, "coarse", rays_stack, prep, codes_list,
+                             sigma_only=fine_follows)
+        if fine_follows:
             fine_meta = stage_merge(
                 rays_stack, tuple(p[0] for p in prep),
-                tuple(p[4] for p in prep), coarse, voxel_topo, ct, skip_boxes,
+                tuple(p[4] for p in prep), tuple(c[0] for c in coarse),
+                voxel_topo, ct, skip_boxes,
             )
             fine = run_kernels(params, "fine", rays_stack, fine_meta,
                                codes_list)

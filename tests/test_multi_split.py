@@ -318,11 +318,11 @@ def test_editable_renderer_multichip_matches_single_device():
     assert r8._stack_sharding is not None
     r1, ref = render(mesh1)
     assert r1.settings.shard_mesh is None and r1._stack_sharding is None
-    # default (kernel) tolerance: sharding the input stack changes GSPMD
-    # fusion in the glue programs; the ~1e-7 f32 drift gets amplified at
-    # inverse-CDF bin boundaries (a fine z sample moves discontinuously) —
-    # measured ≤1e-3 on maps, same order as the fused-kernel tolerance
-    _assert_matches(got, ref)
+    # sharding the input stack changes GSPMD fusion in the glue programs;
+    # the ~1e-7 f32 drift gets amplified at inverse-CDF bin boundaries (a
+    # fine z sample moves discontinuously) — one depth element per ~64
+    # rays can move ~1.5e-3, same bounded mode as the XLA half below
+    _assert_matches(got, ref, rtol=1e-3, atol=2e-3)
 
     # the XLA (non-pallas) monolithic path also shards cleanly (same
     # amplification mode: one fine sample per ~64 rays crossing a CDF bin
@@ -354,3 +354,73 @@ def test_split_ten_channel_mask_clip_matches_monolithic():
         [rays8, jnp.zeros((rays8.shape[0], 2))], -1)]))
     assert float(np.abs(np.asarray(got["rgb_fine"])
                         - np.asarray(plain["rgb_fine"])).max()) > 1e-6
+
+
+def test_compact_hit_order_planner():
+    """Host-side hit-compaction planner: stable hits-first permutation,
+    ceil(hits/chunk) mixed chunks, None when inapplicable."""
+    from object_nerf_tpu.render.multi import compact_hit_order
+
+    n, chunk = 20, 4
+    bg = np.asarray(_rays(n))
+    ob = np.asarray(_rays(n, seed=3)).copy()
+    miss = np.ones(n, bool)
+    miss[[2, 7, 8, 15, 16]] = False  # 5 hit rays
+    ob[miss, 6:8] = 0.0
+    perm, n_mixed = compact_hit_order([bg, ob], (0, 5), chunk)
+    assert n_mixed == 2  # ceil(5/4)
+    assert set(perm[:5].tolist()) == {2, 7, 8, 15, 16}
+    # stable within both groups (pixel order preserved)
+    assert perm[:5].tolist() == sorted(perm[:5].tolist())
+    assert perm[5:].tolist() == sorted(perm[5:].tolist())
+
+    # inapplicable: single set, background not leading, all rays hit
+    assert compact_hit_order([bg], (0,), chunk) is None
+    assert compact_hit_order([ob, bg], (5, 0), chunk) is None
+    assert compact_hit_order(
+        [bg, np.asarray(_rays(n, seed=3))], (0, 5), chunk) is None
+    # all-miss: zero mixed chunks
+    ob_none = np.asarray(_rays(n, seed=3)).copy()
+    ob_none[:, 6:8] = 0.0
+    _, nm = compact_hit_order([bg, ob_none], (0, 5), chunk)
+    assert nm == 0
+
+
+def test_editable_renderer_compaction_matches_dense():
+    """Hit compaction (background-only programs for all-miss chunks) must
+    match the dense render within the documented epsilon budget (muted
+    samples contribute only the reference's +1e-10 transmittance epsilon,
+    rendering.py:160) — and must actually dispatch both chunk kinds."""
+    import json as _json
+    import os
+    import tempfile
+
+    from object_nerf_tpu.edit.editable_renderer import EditableRenderer
+
+    params = _params()
+    bbox = {"labels": [{"id": 1, "data": {
+        "position": [0.3, 0.0, 0.25], "quaternion": [0, 0, 0, 1],
+        "scale": [0.5, 0.5, 0.5]}}]}
+    td = tempfile.mkdtemp()
+    bbox_path = os.path.join(td, "bbox.json")
+    with open(bbox_path, "w") as f:
+        _json.dump(bbox, f)
+
+    Twc = np.eye(4)
+    Twc[:3, 3] = [0.3, -2.0, 0.25]
+    Twc[:3, :3] = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], float)
+
+    outs = {}
+    for compact in (True, False):
+        conf = _edit_conf({"tpu": {"compact_edit_rays": compact}})
+        conf.ckpt_config["dataset_extra"]["bbox_dir"] = bbox_path
+        r = EditableRenderer(conf, params=params)
+        assert r.compact_rays is compact
+        r.set_object_pose_transform(1, np.eye(4), 0)
+        outs[compact] = r.render_edit(h=8, w=12, camera_pose_Twc=Twc,
+                                      fovx_deg=70, chunk=16)
+        if compact:
+            sigs = list(r._chunk_fns)
+            assert any(s[0] == (0,) for s in sigs), sigs
+            assert any(s[0] == (0, 1) for s in sigs), sigs
+    _assert_matches(outs[True], outs[False], rtol=1e-6, atol=1e-6)
