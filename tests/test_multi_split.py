@@ -416,6 +416,9 @@ def test_editable_renderer_compaction_matches_dense():
         conf.ckpt_config["dataset_extra"]["bbox_dir"] = bbox_path
         r = EditableRenderer(conf, params=params)
         assert r.compact_rays is compact
+        # removal + duplication (the reference demo's edit state): the
+        # background-only program must still see the skip boxes
+        r.remove_scene_object_by_ids([1])
         r.set_object_pose_transform(1, np.eye(4), 0)
         outs[compact] = r.render_edit(h=8, w=12, camera_pose_Twc=Twc,
                                       fovx_deg=70, chunk=16)
@@ -423,4 +426,5 @@ def test_editable_renderer_compaction_matches_dense():
             sigs = list(r._chunk_fns)
             assert any(s[0] == (0,) for s in sigs), sigs
             assert any(s[0] == (0, 1) for s in sigs), sigs
+            assert all(s[3] for s in sigs), sigs  # has_skip in every sig
     _assert_matches(outs[True], outs[False], rtol=1e-6, atol=1e-6)
