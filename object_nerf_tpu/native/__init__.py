@@ -35,10 +35,20 @@ def _compile(name: str) -> str | None:
     src = os.path.join(_DIR, f"{name}.cpp")
     with open(src, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    out = os.path.join(_BUILD_DIR, f"{name}-{tag}.so")
+    build_dir = _BUILD_DIR
+    try:
+        os.makedirs(build_dir, exist_ok=True)
+        if not os.access(build_dir, os.W_OK):
+            raise OSError
+    except OSError:
+        # installed package dir may be read-only → per-user cache
+        build_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "object_nerf_tpu", "native"
+        )
+        os.makedirs(build_dir, exist_ok=True)
+    out = os.path.join(build_dir, f"{name}-{tag}.so")
     if os.path.exists(out):
         return out
-    os.makedirs(_BUILD_DIR, exist_ok=True)
     # -march=native is safe: the .so is built on the host that runs it
     cmd = [
         "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
